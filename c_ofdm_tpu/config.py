@@ -1,0 +1,216 @@
+"""Typed modem configuration with the reference's key names and derived geometry.
+
+Mirrors the semantics of the reference config system (`config/parser.cpp:4-33`,
+`config/config.txt:1-32`): integer ``key = value`` pairs, ``#`` comments, and the
+fixed-point x1000 convention for fractional values (``pr_level``, ``T2_sin_level``,
+``pilot_ampl`` — `OFDM/Frame.cpp:105,172,261`).  Unlike the reference, the config is
+validated at construction (the reference silently assumes divisibility at
+`OFDM/Frame.cpp:9` and has a latent border-indexing bug at `OFDM/Frame.hpp:311-322`).
+
+All shapes derived here are static: under ``jax.jit`` they are trace-time constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+
+@dataclasses.dataclass(frozen=True)
+class ModemConfig:
+    """Static geometry + thresholds of one OFDM stream."""
+
+    # --- subcarrier geometry ---
+    fft_size: int = 512
+    num_data_subc: int = 256
+    num_pilot_subc: int = 8
+    cp_size: int = 128
+
+    num_symb: int = 8            # data symbols / frame
+    num_pr_symb: int = 1         # preamble symbols / frame
+
+    # --- preamble / sync ---
+    pr_sin_len: int = 128        # matched-filter length (first samples of preamble CP)
+    pr_seed: int = 42            # MT19937 seed for preamble bytes
+    pr_level: float = 0.5        # preamble correlation threshold (x1000 in file)
+
+    # --- two-tone detect burst ---
+    t2sin_size: int = 256
+    t2_sin_f1: int = 17
+    t2_sin_f2: int = 51
+    t2_sin_level: float = 0.8    # detect energy-ratio threshold (x1000 in file)
+    smooth: int = 5              # half-width of the detect mask around each tone
+
+    # --- modulation ---
+    mod_type: int = 4            # bits/symbol: 1=BPSK 2=QAM4 4=QAM16 6=QAM64 8=QAM256
+    pilot_ampl: float = 2.5      # TX pilot amplitude (x1000 in file)
+
+    # --- radio / staging (kept for config-file compatibility; no radio on TPU) ---
+    bw_hz: int = 10_000_000
+    fs_hz: int = 5_000_000
+    lo_hz: int = 2_800_000_000
+    hardwaregain: int = 50
+    mult: int = 200              # float -> int16 staging scale
+    rx_buf_size: int = 40        # frames per ingest buffer (ring = rx_buf_size+1)
+    tx_cycle_buf: int = 0
+    tx_time_int: int = 0
+    iterations: int = 10_000
+
+    def __post_init__(self):
+        if self.num_data_subc % self.num_pilot_subc:
+            raise ValueError(
+                f"num_data_subc ({self.num_data_subc}) must be divisible by "
+                f"num_pilot_subc ({self.num_pilot_subc})")
+        if self.num_pilot_subc % 2:
+            raise ValueError("num_pilot_subc must be even (half-band split layout)")
+        occupied = self.num_data_subc + self.num_pilot_subc
+        if occupied >= self.fft_size:
+            raise ValueError("data+pilot subcarriers must fit below fft_size (guard band)")
+        if self.mod_type not in (1, 2, 4, 6, 8):
+            raise ValueError(f"unsupported mod_type {self.mod_type}")
+        if self.pr_sin_len > self.ofdm_len:
+            raise ValueError("pr_sin_len must fit inside one OFDM symbol")
+        if (self.num_data_subc * self.num_symb * self.mod_type) % 8:
+            raise ValueError("frame payload must be a whole number of bytes")
+
+    # ---- derived geometry (reference: OFDM/Frame.cpp:4-29,157-232) ----
+
+    @property
+    def segment_step(self) -> int:
+        return self.num_data_subc // self.num_pilot_subc + 1
+
+    @property
+    def segment_size(self) -> int:
+        return self.segment_step - 1
+
+    @property
+    def ofdm_len(self) -> int:
+        """One OFDM symbol incl. cyclic prefix."""
+        return self.fft_size + self.cp_size
+
+    @property
+    def preamble_len(self) -> int:
+        return self.ofdm_len * self.num_pr_symb
+
+    @property
+    def message_len(self) -> int:
+        return self.ofdm_len * self.num_symb
+
+    @property
+    def frame_len(self) -> int:
+        """Samples per frame: burst + preamble + message (= 6016 @ defaults)."""
+        return self.t2sin_size + self.preamble_len + self.message_len
+
+    @property
+    def frame_bytes(self) -> int:
+        """MAC-frame bytes carried per frame (= 1024 @ defaults)."""
+        return self.num_data_subc * self.num_symb * self.mod_type // 8
+
+    @property
+    def preamble_bytes(self) -> int:
+        """Preamble is always BPSK over its data subcarriers."""
+        return self.num_data_subc * self.num_pr_symb // 8
+
+    @property
+    def ring_len(self) -> int:
+        """Ingest ring: rx_buf_size frames + one carry-over frame."""
+        return self.frame_len * (self.rx_buf_size + 1)
+
+    @property
+    def sync_window(self) -> int:
+        """Preamble-search lags after a detect hit (reference cor size,
+        `OFDM/Frame.cpp:266`)."""
+        return self.t2sin_size * 2 + self.pr_sin_len
+
+    @property
+    def num_t2_blocks_ring(self) -> int:
+        return self.ring_len // self.t2sin_size
+
+    def to_dict(self) -> Dict[str, int]:
+        """Reference-file representation (x1000 fixed point where applicable)."""
+        return {
+            "fft_size": self.fft_size,
+            "num_data_subc": self.num_data_subc,
+            "num_pilot_subc": self.num_pilot_subc,
+            "cp_size": self.cp_size,
+            "num_symb": self.num_symb,
+            "num_pr_symb": self.num_pr_symb,
+            "pr_sin_len": self.pr_sin_len,
+            "pr_seed": self.pr_seed,
+            "pr_level": round(self.pr_level * 1000),
+            "T2sin_size": self.t2sin_size,
+            "T2_sin_f1": self.t2_sin_f1,
+            "T2_sin_f2": self.t2_sin_f2,
+            "T2_sin_level": round(self.t2_sin_level * 1000),
+            "smooth": self.smooth,
+            "modType": self.mod_type,
+            "pilot_ampl": round(self.pilot_ampl * 1000),
+            "bw_hz": self.bw_hz,
+            "fs_hz": self.fs_hz,
+            "lo_hz": self.lo_hz,
+            "hardwaregain": self.hardwaregain,
+            "mult": self.mult,
+            "rx_buf_size": self.rx_buf_size,
+            "tx_cycle_buf": self.tx_cycle_buf,
+            "tx_time_int": self.tx_time_int,
+            "iterations": self.iterations,
+        }
+
+
+_KEY_MAP = {
+    "fft_size": "fft_size",
+    "num_data_subc": "num_data_subc",
+    "num_pilot_subc": "num_pilot_subc",
+    "cp_size": "cp_size",
+    "num_symb": "num_symb",
+    "num_pr_symb": "num_pr_symb",
+    "pr_sin_len": "pr_sin_len",
+    "pr_seed": "pr_seed",
+    "T2sin_size": "t2sin_size",
+    "T2_sin_f1": "t2_sin_f1",
+    "T2_sin_f2": "t2_sin_f2",
+    "smooth": "smooth",
+    "modType": "mod_type",
+    "bw_hz": "bw_hz",
+    "fs_hz": "fs_hz",
+    "lo_hz": "lo_hz",
+    "hardwaregain": "hardwaregain",
+    "mult": "mult",
+    "rx_buf_size": "rx_buf_size",
+    "tx_cycle_buf": "tx_cycle_buf",
+    "tx_time_int": "tx_time_int",
+    "iterations": "iterations",
+}
+_FIXED_POINT_KEYS = {"pr_level": "pr_level", "T2_sin_level": "t2_sin_level",
+                     "pilot_ampl": "pilot_ampl"}
+
+
+def parse_config_text(text: str) -> Dict[str, int]:
+    """Parse reference ``key = value`` text (parser.cpp:11-31 semantics)."""
+    out: Dict[str, int] = {}
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or "=" not in line:
+            continue
+        key, _, val = line.partition("=")
+        key, val = key.strip(), val.strip()
+        if key and val:
+            out[key] = int(val, 0)
+    return out
+
+
+def load_config(path: str) -> ModemConfig:
+    """Load a reference-format config file into a validated ModemConfig."""
+    with open(path, "r") as f:
+        raw = parse_config_text(f.read())
+    kwargs = {}
+    for file_key, value in raw.items():
+        if file_key in _FIXED_POINT_KEYS:
+            kwargs[_FIXED_POINT_KEYS[file_key]] = value / 1000.0
+        elif file_key in _KEY_MAP:
+            kwargs[_KEY_MAP[file_key]] = value
+        # unknown keys are ignored, matching the reference's tolerant parser
+    return ModemConfig(**kwargs)
+
+
+REFERENCE_CONFIG = ModemConfig()

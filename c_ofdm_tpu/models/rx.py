@@ -1,0 +1,111 @@
+"""Receive chain: capture IQ -> synchronized, corrected, demodulated bytes.
+
+Mirrors the canonical demod recipe of `main.cpp:46-82` / `rx.cpp:158-221`:
+t2sin coarse detect -> preamble fine timing -> coarse pilot CFO -> derotate ->
+per-symbol CP CFO -> common phase -> linear-phase channel est -> batched FFT +
+pilot equalization -> hard demap.
+
+Everything after timing is batch-parallel over frames; sync produces positions
+as traced scalars and frames are gathered with dynamic slices, keeping the
+whole chain statically shaped and jittable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import cfo, chanest, modulation, sync
+from .frame import FrameSpec
+
+
+class RxResult(NamedTuple):
+    mac_bytes: jnp.ndarray       # uint8 [..., frame_bytes]
+    constellation: jnp.ndarray   # [..., nsym*num_data_subc]
+    chan_est: jnp.ndarray        # [..., num_data_subc]
+    cfo: jnp.ndarray             # [...] coarse CFO estimate (cycles/sample)
+
+
+def demod_frame(spec: FrameSpec, frame_sig: jnp.ndarray,
+                estimator: str = "lq") -> RxResult:
+    """Demodulate frames whose exact start is known.
+
+    frame_sig [..., frame_len] with the t2sin burst at offset 0.
+    """
+    cfg = spec.cfg
+    sig = frame_sig[..., cfg.t2sin_size:]
+    shift = cfo.pilot_freq_shift(spec, sig)
+    sig = cfo.apply_freq_shift(sig, shift)
+    sig = cfo.cp_freq_correct(spec, sig)
+    sig = cfo.common_phase_correct(spec, sig)
+    pre = sig[..., : cfg.preamble_len]
+    chan = (chanest.chan_est_lq if estimator == "lq" else chanest.chan_est_full)(
+        spec, pre)
+    lead = sig.shape[:-1]
+    msg = sig[..., cfg.preamble_len:].reshape(
+        *lead, cfg.num_symb, cfg.ofdm_len)[..., cfg.cp_size:]
+    const = chanest.ofdm_demodulate(spec, msg)
+    const = chanest.equalize(spec, const, chan)
+    mac_bytes = modulation.demap_bytes(const, cfg.mod_type)
+    return RxResult(mac_bytes, const, chan, shift)
+
+
+class SyncResult(NamedTuple):
+    frame_start: jnp.ndarray   # [] start of the frame (t2sin burst) in the capture
+    t2_begin: jnp.ndarray      # [] first detected t2 block (or -1)
+    pr_begin: jnp.ndarray      # [] preamble position (+1 applied, reference quirk)
+    found: jnp.ndarray         # [] bool
+
+
+def synchronize(spec: FrameSpec, capture: jnp.ndarray,
+                start: jnp.ndarray = 0) -> SyncResult:
+    """Single-frame sync per `main.cpp:50-58`: coarse detect from ``start``,
+    preamble search in the following sync window, +1 empirical offset.
+    capture [n] (single stream — vmap over leading dims for batches)."""
+    t2_begin, t2_found = sync.find_t2sin(spec, capture, start)
+    pr, pr_found = sync.find_preamble(spec, capture, jnp.maximum(t2_begin, 0))
+    pr_begin = pr + 1
+    found = jnp.logical_and(t2_found, pr_found)
+    frame_start = jnp.where(found, pr_begin - spec.cfg.t2sin_size, 0)
+    frame_start = jnp.maximum(frame_start, 0)
+    return SyncResult(frame_start, t2_begin, pr_begin, found)
+
+
+def extract_frame(spec: FrameSpec, capture: jnp.ndarray,
+                  frame_start: jnp.ndarray) -> jnp.ndarray:
+    """Gather one frame window [frame_len] starting at a traced position."""
+    return jax.lax.dynamic_slice_in_dim(capture, frame_start, spec.cfg.frame_len)
+
+
+def receive_capture(spec: FrameSpec, capture: jnp.ndarray,
+                    estimator: str = "lq"):
+    """Full single-frame RX on one capture [n]: sync + demod.
+
+    Returns (RxResult, SyncResult); RxResult fields are garbage when
+    sync.found is False (mask downstream) — shapes stay static.
+    """
+    s = synchronize(spec, capture)
+    frame = extract_frame(spec, capture, s.frame_start)
+    return demod_frame(spec, frame, estimator), s
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def receive_capture_jit(spec: FrameSpec, capture: jnp.ndarray,
+                        estimator: str = "lq"):
+    return receive_capture(spec, capture, estimator)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def receive_batch_jit(spec: FrameSpec, captures: jnp.ndarray,
+                      estimator: str = "lq"):
+    """Batched captures [B, n] -> vmapped single-frame RX."""
+    return jax.vmap(lambda c: receive_capture(spec, c, estimator))(captures)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def demod_frames_jit(spec: FrameSpec, frames: jnp.ndarray,
+                     estimator: str = "lq") -> RxResult:
+    return demod_frame(spec, frames, estimator)

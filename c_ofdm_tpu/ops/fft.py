@@ -1,0 +1,81 @@
+"""Batched FFT primitives for the OFDM chain.
+
+Two interchangeable backends:
+
+* ``xla`` — ``jnp.fft.fft/ifft`` (XLA's native TPU FFT).
+* ``matmul`` — explicit DFT-matrix contraction.  For the small transform sizes
+  used here (256-4096) with large symbol batches, the MXU's matmul throughput
+  can beat the native FFT; it also enables *partial* DFTs (only the bins we
+  need — see ``dft_rows``), which the sync detector exploits.
+
+Conventions match FFTW (reference `OFDM/Frame.cpp:16-24`): ``fft_fwd`` is the
+unnormalized forward transform (== jnp.fft.fft); ``ifft_unnorm`` is the
+unnormalized backward transform (== N * jnp.fft.ifft).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=32)
+def _dft_matrix_np(n: int, sign: int) -> np.ndarray:
+    k = np.arange(n)
+    return np.exp(sign * 2j * np.pi * np.outer(k, k) / n)
+
+
+def dft_rows(n: int, rows: np.ndarray, sign: int = -1) -> np.ndarray:
+    """Selected rows of the (unnormalized) DFT matrix: [len(rows), n]."""
+    k = np.arange(n)
+    return np.exp(sign * 2j * np.pi * np.outer(np.asarray(rows), k) / n)
+
+
+def fft_fwd(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
+    """Unnormalized forward FFT along the last axis."""
+    if backend == "matmul":
+        return _matmul_dft(x, sign=-1)
+    return jnp.fft.fft(x)
+
+
+def ifft_unnorm(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
+    """Unnormalized backward FFT (FFTW convention) along the last axis."""
+    if backend == "matmul":
+        return _matmul_dft(x, sign=+1)
+    return jnp.fft.ifft(x) * x.shape[-1]
+
+
+def _matmul_dft(x: jnp.ndarray, sign: int) -> jnp.ndarray:
+    """Complex DFT as 4 real matmuls (MXU path); preserves complex dtype."""
+    n = x.shape[-1]
+    w = _dft_matrix_np(n, sign)
+    rdt = jnp.finfo(x.real.dtype).dtype
+    wr = jnp.asarray(w.real, dtype=rdt)
+    wi = jnp.asarray(w.imag, dtype=rdt)
+    xr, xi = x.real, x.imag
+    yr = xr @ wr - xi @ wi
+    yi = xr @ wi + xi @ wr
+    return jax_lax_complex(yr, yi)
+
+
+def jax_lax_complex(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    return re + 1j * im
+
+
+def partial_dft(x: jnp.ndarray, rows: np.ndarray, sign: int = -1) -> jnp.ndarray:
+    """Project x[..., n] onto selected DFT bins: returns [..., len(rows)].
+
+    Cost is O(n * len(rows)) on the MXU instead of O(n log n) on the VPU — a
+    large win when only a handful of bins matter (two-tone detection).
+    """
+    n = x.shape[-1]
+    w = dft_rows(n, rows, sign).T  # [n, n_rows]
+    rdt = jnp.finfo(x.real.dtype).dtype
+    wr = jnp.asarray(w.real, dtype=rdt)
+    wi = jnp.asarray(w.imag, dtype=rdt)
+    xr, xi = x.real, x.imag
+    yr = xr @ wr - xi @ wi
+    yi = xr @ wi + xi @ wr
+    return jax_lax_complex(yr, yi)

@@ -1,0 +1,77 @@
+"""Constellation mapping / demapping as vectorized JAX ops.
+
+Reference semantics (`OFDM/modulation.cpp`): non-Gray square QAM with the real
+index in the low half-bits and imaginary in the high half-bits
+(`modulation.cpp:12-20`), diagonal BPSK at 5π/4 (`modulation.cpp:28-30`), and
+hard decision by clamp + round to the grid (`modulation.cpp:53-87`).
+
+New capability over the reference: max-log soft LLR output (`soft_llrs`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import bits as bitops
+
+MOD_BPSK, MOD_QAM4, MOD_QAM16, MOD_QAM64, MOD_QAM256 = 1, 2, 4, 6, 8
+
+
+def constellation(mod_type: int) -> np.ndarray:
+    """Lookup table indexed by symbol value (numpy; baked into jit as constant)."""
+    if mod_type == 1:
+        return np.exp(1j * (np.pi * np.arange(2) + 5 * np.pi / 4))
+    side = 1 << (mod_type // 2)
+    idx = np.arange(1 << mod_type)
+    re = 2.0 / (side - 1) * (idx % side) - 1.0
+    im = 2.0 / (side - 1) * (idx >> (mod_type // 2)) - 1.0
+    return re + 1j * im
+
+
+def map_symbols(symbols: jnp.ndarray, mod_type: int, dtype=jnp.complex64) -> jnp.ndarray:
+    """Symbol indices -> constellation points via gather."""
+    table = jnp.asarray(constellation(mod_type), dtype=dtype)
+    return table[symbols]
+
+
+def map_bytes(data: jnp.ndarray, mod_type: int, dtype=jnp.complex64) -> jnp.ndarray:
+    """uint8 [..., nbytes] -> points [..., nbytes*8/mod_type]."""
+    return map_symbols(bitops.bytes_to_symbols(data, mod_type), mod_type, dtype)
+
+
+def hard_demap(points: jnp.ndarray, mod_type: int) -> jnp.ndarray:
+    """Constellation points -> symbol indices (int32), reference hard decision."""
+    if mod_type == 1:
+        return (points.real + points.imag > 0).astype(jnp.int32)
+    side = 1 << (mod_type // 2)
+    inv_step = (side - 1) / 2.0
+    re = jnp.clip(points.real, -1.0, 1.0)
+    im = jnp.clip(points.imag, -1.0, 1.0)
+    ire = jnp.floor((re + 1.0) * inv_step + 0.5).astype(jnp.int32)
+    iim = jnp.floor((im + 1.0) * inv_step + 0.5).astype(jnp.int32)
+    return ire | (iim << (mod_type // 2))
+
+
+def demap_bytes(points: jnp.ndarray, mod_type: int) -> jnp.ndarray:
+    """points [..., nsym] -> uint8 [..., nsym*mod_type/8] via hard decision."""
+    return bitops.symbols_to_bytes(hard_demap(points, mod_type), mod_type)
+
+
+def soft_llrs(points: jnp.ndarray, mod_type: int, noise_var: float = 1.0) -> jnp.ndarray:
+    """Max-log LLRs, [..., nsym, mod_type]; positive favors bit 0.
+
+    Not present in the reference (hard-decision only); enables coded operation.
+    """
+    table = constellation(mod_type)
+    nbits = mod_type
+    idx = np.arange(table.size)
+    # bit b of symbol index, MSB-first to match bytes_to_symbols ordering
+    bit_of = ((idx[:, None] >> np.arange(nbits - 1, -1, -1)[None, :]) & 1)  # [S, nbits]
+    tbl = jnp.asarray(table, dtype=points.dtype)
+    d2 = jnp.abs(points[..., None] - tbl) ** 2  # [..., nsym, S]
+    big = jnp.asarray(np.inf, dtype=d2.dtype)
+    mask0 = jnp.asarray(bit_of == 0)  # [S, nbits]
+    d0 = jnp.min(jnp.where(mask0.T, d2[..., None, :], big), axis=-1)  # [..., nsym, nbits]
+    d1 = jnp.min(jnp.where(~mask0.T, d2[..., None, :], big), axis=-1)
+    return (d1 - d0) / noise_var

@@ -1,0 +1,129 @@
+"""Time synchronization: two-tone coarse detect + preamble matched filter.
+
+The reference scans serially with early exit (`OFDM/Frame.hpp:150-197`,
+`OFDM/Frame.cpp:338-378`).  The TPU formulation computes dense tracks in
+parallel — ideal VPU/MXU work — and reduces with a masked argmax, which
+reproduces the serial first-hit semantics exactly.
+
+Key algorithmic reshape for the detector: the reference FFTs every 256-sample
+block and sums masked-bin energy.  Only ``2*(2*smooth+1)`` bins ever carry mask
+weight, so we project onto exactly those bins with a partial DFT (one skinny
+matmul) and get total energy from Parseval in the time domain — ~10x less
+compute than a full FFT per block, and all of it MXU-friendly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import fft as fftops
+
+
+def _t2_masked_bins(spec):
+    """Bins with nonzero detect-mask weight and their weights."""
+    bins = np.nonzero(spec.t2_mask)[0]
+    return bins, spec.t2_mask[bins]
+
+
+def t2_ratio_track(spec, capture: jnp.ndarray, backend: str = "partial") -> jnp.ndarray:
+    """Per-block masked/total energy ratio.  capture [..., n]; blocks are
+    aligned to the start of the last axis.  Returns [..., n // t2sin_size].
+
+    backend "partial": partial-DFT + Parseval (fast path).
+    backend "fft":     full per-block FFT (bit-matches the reference track).
+    """
+    size = spec.cfg.t2sin_size
+    n = capture.shape[-1]
+    nblk = n // size
+    blocks = capture[..., : nblk * size].reshape(*capture.shape[:-1], nblk, size)
+    if backend == "fft":
+        s = fftops.fft_fwd(blocks)
+        e = jnp.abs(s) ** 2
+        total = e.sum(-1)
+        masked = (e * jnp.asarray(spec.t2_mask, dtype=e.dtype)).sum(-1)
+    else:
+        bins, weights = _t2_masked_bins(spec)
+        s = fftops.partial_dft(blocks, bins)
+        e = jnp.abs(s) ** 2
+        masked = (e * jnp.asarray(weights, dtype=e.dtype)).sum(-1)
+        # Parseval: sum_k |X_k|^2 == N * sum_n |x_n|^2 for the unnormalized DFT
+        total = size * (jnp.abs(blocks) ** 2).sum(-1)
+    ratio = jnp.where(total > 0, masked / jnp.maximum(total, 1e-30), 0.0)
+    return ratio
+
+
+def first_above(track: jnp.ndarray, level: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """First index along the last axis where track > level; (-1, False) if none.
+
+    Replicates the serial early-exit semantics of the reference scans.
+    """
+    hit = track > level
+    idx = jnp.argmax(hit, axis=-1)
+    found = jnp.any(hit, axis=-1)
+    return jnp.where(found, idx, -1), found
+
+
+def find_t2sin(spec, capture: jnp.ndarray, start: jnp.ndarray = 0,
+               backend: str = "partial"):
+    """Sample index of the first detected block at/after ``start`` (blocks
+    aligned to ``start``), or -1.  ``start`` may be a traced scalar; alignment
+    is handled by rolling the capture so block boundaries land on ``start``.
+
+    Matches `T2SIN_FORM::find_t2sin` (`OFDM/Frame.hpp:150-197`) including its
+    trailing partial-block truncation.
+    """
+    size = spec.cfg.t2sin_size
+    n = capture.shape[-1]
+    shifted = jnp.roll(capture, -start, axis=-1)
+    track = t2_ratio_track(spec, shifted, backend)
+    nblk = track.shape[-1]
+    # blocks that would run past the original end (wrapped samples) are invalid
+    valid_blocks = (jnp.arange(nblk) + 1) * size <= (n - start)
+    track = jnp.where(valid_blocks, track, 0.0)
+    idx, found = first_above(track, spec.cfg.t2_sin_level)
+    return jnp.where(found, idx * size + start, -1), found
+
+
+def preamble_corr_track(spec, capture: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+    """Normalized matched-filter correlation at lags [start, start+sync_window).
+
+    capture [n] (single stream; vmap for batches), start scalar (may be traced).
+    Positions whose window energy is <= 1 score 0 (`Frame.cpp:357-364`).
+    """
+    L = spec.cfg.pr_sin_len
+    W = spec.cfg.sync_window
+    region_len = W + L
+    region = jax_dynamic_window(capture, start, region_len)
+    # windows[i] = region[i : i+L]  ->  [W, L]
+    idx = np.arange(W)[:, None] + np.arange(L)[None, :]
+    windows = region[idx]
+    mf = jnp.asarray(spec.matched_filter, dtype=capture.dtype)
+    corr = jnp.abs(windows @ mf)
+    e = jnp.abs(region) ** 2
+    ce = jnp.concatenate([jnp.zeros((1,), e.dtype), jnp.cumsum(e)])
+    norm = ce[L:L + W] - ce[:W]
+    score = jnp.where(norm > 1.0, corr / jnp.sqrt(jnp.maximum(norm, 1e-30)), 0.0)
+    return score
+
+
+def jax_dynamic_window(x: jnp.ndarray, start: jnp.ndarray, length: int) -> jnp.ndarray:
+    """dynamic_slice along the last axis with out-of-range reads zeroed.
+
+    lax.dynamic_slice clamps the start index; instead we shift with roll so the
+    slice is always in-bounds, then zero the positions past the true end —
+    preserving the reference's "window energy 0 past the buffer" behavior.
+    """
+    n = x.shape[-1]
+    shifted = jnp.roll(x, -start, axis=-1)
+    window = shifted[..., :length]
+    valid = jnp.arange(length) < (n - start)
+    return jnp.where(valid, window, 0)
+
+
+def find_preamble(spec, capture: jnp.ndarray, start: jnp.ndarray):
+    """First lag over pr_level, or -10 (`PREAMBLE_FORM::find_preamble`,
+    `OFDM/Frame.cpp:338-378`).  Returns (position, found)."""
+    track = preamble_corr_track(spec, capture, start)
+    idx, found = first_above(track, spec.cfg.pr_level)
+    return jnp.where(found, idx + start, -10), found

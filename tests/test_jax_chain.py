@@ -1,0 +1,74 @@
+"""End-to-end JAX chain: golden-capture replay and TX/RX loopback, in both
+complex128 (golden parity) and complex64 (TPU production dtype)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from c_ofdm_tpu.models import rx as rxm
+from c_ofdm_tpu.models import tx as txm
+from c_ofdm_tpu.oracle import reference as oracle
+
+
+def _decode_mac_payload(mac_bytes_or_const, const):
+    bits = (const.real + const.imag > 0).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+def test_tx_matches_source_bin(spec128, cfg, ref_source_int16):
+    frame = txm.transmit(spec128, jnp.zeros((cfg.frame_bytes,), dtype=jnp.uint8))
+    i16 = np.asarray(txm.to_int16(spec128, frame))
+    n_fixed = (cfg.t2sin_size + cfg.preamble_len) * 2
+    assert np.array_equal(i16[:n_fixed], ref_source_int16[:n_fixed])
+
+
+def test_golden_capture_jax_c128(spec128, cfg, ref_capture, ref_constell,
+                                 ref_phases, ref_decoded_text):
+    res, s = rxm.receive_capture_jit(spec128, jnp.asarray(ref_capture))
+    assert bool(s.found)
+    assert int(s.t2_begin) == 10752 and int(s.pr_begin) == 11040
+    const = np.asarray(res.constellation)
+    assert np.allclose(np.asarray(res.chan_est), ref_phases, atol=1e-9)
+    assert np.allclose(const, ref_constell, atol=1e-7)
+    dec = _decode_mac_payload(res.mac_bytes, const)
+    assert dec[8:8 + len(ref_decoded_text)] == ref_decoded_text
+
+
+def test_golden_capture_jax_c64(spec64, cfg, ref_capture, ref_constell,
+                                ref_decoded_text):
+    """complex64 end-to-end: constellation within a small fraction of the
+    capture's own EVM (~9.3% rms), and payload decoded identically."""
+    cap = jnp.asarray(ref_capture.astype(np.complex64))
+    res, s = rxm.receive_capture_jit(spec64, cap)
+    assert bool(s.found)
+    assert int(s.t2_begin) == 10752 and int(s.pr_begin) == 11040
+    const = np.asarray(res.constellation)
+    err = np.sqrt(np.mean(np.abs(const - ref_constell) ** 2))
+    scale = np.sqrt(np.mean(np.abs(ref_constell) ** 2))
+    assert err / scale < 2e-3, err / scale
+    dec = _decode_mac_payload(res.mac_bytes, const)
+    assert dec[8:8 + len(ref_decoded_text)] == ref_decoded_text
+
+
+def test_loopback_batch_c64(spec64, cfg):
+    """Batched TX->ideal channel->known-position RX roundtrip in complex64."""
+    rng = np.random.default_rng(7)
+    B = 4
+    payload = rng.integers(0, 256, (B, cfg.frame_bytes), dtype=np.uint8)
+    frames = txm.transmit_jit(spec64, jnp.asarray(payload))
+    assert frames.shape == (B, cfg.frame_len)
+    res = rxm.demod_frames_jit(spec64, frames)
+    assert np.array_equal(np.asarray(res.mac_bytes), payload)
+
+
+def test_int16_staging_roundtrip(spec64, cfg):
+    rng = np.random.default_rng(8)
+    payload = rng.integers(0, 256, (cfg.frame_bytes,), dtype=np.uint8)
+    frame = txm.transmit(spec64, jnp.asarray(payload))
+    i16 = txm.to_int16(spec64, frame)
+    back = txm.from_int16(spec64, i16)
+    # quantized to 1/mult; roundtrip through int16 keeps values intact
+    ref = np.asarray(oracle.to_int16(cfg, np.asarray(frame, dtype=np.complex128)))
+    assert np.allclose(np.asarray(back), ref, atol=1.0)
+    # and the demod still works on the quantized signal
+    res = rxm.demod_frames_jit(spec64, back[None, :] / cfg.mult)
+    assert np.array_equal(np.asarray(res.mac_bytes)[0], payload)

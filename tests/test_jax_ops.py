@@ -1,0 +1,101 @@
+"""JAX op parity vs the numpy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from c_ofdm_tpu.ops import bits as bitops
+from c_ofdm_tpu.ops import modulation, sync, cfo, chanest
+from c_ofdm_tpu.oracle import reference as oracle
+
+
+def test_bits_roundtrip():
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, (3, 24), dtype=np.uint8)
+    for bps in (1, 2, 4, 6, 8):
+        sym = bitops.bytes_to_symbols(jnp.asarray(data), bps)
+        ref = np.stack([oracle.bytes_to_symbols(d, bps) for d in data])
+        assert np.array_equal(np.asarray(sym), ref), bps
+        back = bitops.symbols_to_bytes(sym, bps)
+        assert np.array_equal(np.asarray(back), data), bps
+
+
+def test_map_demap_matches_oracle():
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 256, (2, 24), dtype=np.uint8)
+    for mod in (1, 2, 4, 6, 8):
+        pts = modulation.map_bytes(jnp.asarray(data), mod, dtype=jnp.complex128)
+        ref = np.stack([oracle.modulate(d, mod) for d in data])
+        assert np.allclose(np.asarray(pts), ref)
+        if mod > 1:
+            noisy = ref + 0.05 * (rng.standard_normal(ref.shape)
+                                  + 1j * rng.standard_normal(ref.shape))
+            got = modulation.demap_bytes(jnp.asarray(noisy), mod)
+            want = np.stack([oracle.demodulate_bytes(n, mod) for n in noisy])
+            assert np.array_equal(np.asarray(got), want)
+
+
+def test_soft_llr_sign_matches_hard_decision():
+    rng = np.random.default_rng(2)
+    for mod in (2, 4, 6):
+        data = rng.integers(0, 256, 24, dtype=np.uint8)
+        pts = oracle.modulate(data, mod)
+        llr = modulation.soft_llrs(jnp.asarray(pts), mod)
+        # noiseless: LLR sign must recover the exact bits (positive => bit 0)
+        bits_hat = (np.asarray(llr) < 0).astype(np.uint8).reshape(-1)
+        bits_ref = np.unpackbits(data)[: bits_hat.size]
+        assert np.array_equal(bits_hat, bits_ref), mod
+
+
+def test_ofdm_mod_demod_roundtrip(spec128, cfg):
+    rng = np.random.default_rng(3)
+    pts = oracle.modulate(rng.integers(0, 256, cfg.frame_bytes, dtype=np.uint8),
+                          cfg.mod_type)
+    time_ref = oracle.ofdm_modulate(cfg, pts, cfg.num_symb)
+    time_jax = chanest.ofdm_modulate(spec128, jnp.asarray(pts), cfg.num_symb)
+    assert np.allclose(np.asarray(time_jax), time_ref, atol=1e-12)
+    demod_ref = oracle.ofdm_demodulate(cfg, time_ref[:, cfg.cp_size:])
+    demod_jax = chanest.ofdm_demodulate(spec128, time_jax[..., cfg.cp_size:])
+    assert np.allclose(np.asarray(demod_jax), demod_ref, atol=1e-12)
+
+
+def test_t2_track_backends_match_oracle(spec128, cfg, ref_capture, ref_t2_corr):
+    cap = jnp.asarray(ref_capture)
+    for backend in ("fft", "partial"):
+        track = np.asarray(sync.t2_ratio_track(spec128, cap, backend=backend))
+        mine = np.where(track > cfg.t2_sin_level, track, 0.0)
+        assert np.allclose(mine[: ref_t2_corr.size], ref_t2_corr, atol=1e-9), backend
+    pos, found = sync.find_t2sin(spec128, cap, 0)
+    assert bool(found) and int(pos) == 10752
+
+
+def test_preamble_track_matches_oracle(spec128, cfg, ref_capture):
+    t2 = 10752
+    track_ref = oracle.preamble_corr_track(cfg, ref_capture, t2)
+    track_jax = np.asarray(sync.preamble_corr_track(
+        spec128, jnp.asarray(ref_capture), jnp.asarray(t2)))
+    assert np.allclose(track_jax, track_ref, atol=1e-10)
+    pos, found = sync.find_preamble(spec128, jnp.asarray(ref_capture), jnp.asarray(t2))
+    assert bool(found) and int(pos) + 1 == 11040
+
+
+def test_cfo_estimators_match_oracle(spec128, cfg, ref_capture):
+    pr_begin = 11040
+    frame = ref_capture[pr_begin - cfg.t2sin_size:
+                        pr_begin - cfg.t2sin_size + cfg.frame_len]
+    sig = frame[cfg.t2sin_size:]
+    shift_ref = oracle.pilot_freq_shift(cfg, sig)
+    shift_jax = float(cfo.pilot_freq_shift(spec128, jnp.asarray(sig)))
+    assert abs(shift_jax - shift_ref) < 1e-12
+    d_ref = oracle.apply_freq_shift(sig, shift_ref)
+    d_jax = np.asarray(cfo.apply_freq_shift(jnp.asarray(sig), jnp.asarray(shift_ref)))
+    assert np.allclose(d_jax, d_ref, atol=1e-10)
+    c_ref = oracle.cp_freq_correct(cfg, d_ref)
+    c_jax = np.asarray(cfo.cp_freq_correct(spec128, jnp.asarray(d_ref)))
+    assert np.allclose(c_jax, c_ref, atol=1e-10)
+    p_ref = oracle.common_phase_correct(cfg, c_ref)
+    p_jax = np.asarray(cfo.common_phase_correct(spec128, jnp.asarray(c_ref)))
+    assert np.allclose(p_jax, p_ref, atol=1e-10)
+    chan_ref = oracle.chan_est_lq(cfg, p_ref[: cfg.preamble_len])
+    chan_jax = np.asarray(chanest.chan_est_lq(spec128,
+                                              jnp.asarray(p_ref[: cfg.preamble_len])))
+    assert np.allclose(chan_jax, chan_ref, atol=1e-10)
