@@ -1,0 +1,197 @@
+"""Streaming receiver: continuous capture -> stream of decoded frames.
+
+Reference counterpart: the real-time RX loop (`rx.cpp:94-237`) — a serial
+pointer walk over a 41-frame ring with carry-over memcpy and early-exit scans.
+The TPU formulation keeps its *semantics* (one-frame overlap-save carry, each
+frame decoded exactly once, in order) but restructures the work:
+
+1. dense normalized matched-filter correlation over the whole ring at every
+   lag (FFT overlap-save — one large batched FFT instead of 246k serial dots);
+2. greedy hit extraction under the reference's advance rule (next preamble at
+   least ``message_len`` past the previous — `rx.cpp:198`), as a fixed-trip
+   ``fori_loop`` over the frame capacity;
+3. gather up to ``max_frames`` frame windows with dynamic slices, batch-demod
+   them in one fused pipeline, mask the invalid tail.
+
+State between calls is a small pytree: the carry-over halo (one frame length,
+`rx.cpp:147-156`) plus scalar cursors — exactly the resumable state the
+reference keeps implicitly in ``pos``/ring/counters (`rx.cpp:69,114-124`).
+This same structure is what shards over a {channel, time} mesh (parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import fft as fftops
+from .frame import FrameSpec
+from . import rx as rxm
+
+
+class StreamState(NamedTuple):
+    carry: jnp.ndarray        # [frame_len] tail of the previous ring
+    carry_valid: jnp.ndarray  # [] bool — false on the very first buffer
+    next_min_pos: jnp.ndarray  # [] int32 — first admissible preamble lag in the
+    #                              new ring (suppresses re-detecting carried frames)
+    frames_seen: jnp.ndarray  # [] int32 running count of decoded frames
+
+
+class StreamOut(NamedTuple):
+    mac_bytes: jnp.ndarray    # [max_frames, frame_bytes] uint8
+    diag: jnp.ndarray         # [max_frames, nsym*ndata] re+im soft metric
+    positions: jnp.ndarray    # [max_frames] preamble positions in this ring
+    valid: jnp.ndarray        # [max_frames] bool
+    num_found: jnp.ndarray    # [] int32
+    cfo: jnp.ndarray          # [max_frames]
+
+
+def init_state(spec: FrameSpec, dtype=None) -> StreamState:
+    dtype = dtype or spec.dtype
+    return StreamState(
+        carry=jnp.zeros((spec.cfg.frame_len,), dtype=dtype),
+        carry_valid=jnp.asarray(False),
+        next_min_pos=jnp.asarray(0, dtype=jnp.int32),
+        frames_seen=jnp.asarray(0, dtype=jnp.int32),
+    )
+
+
+def _fft_len(n: int) -> int:
+    return 1 << int(np.ceil(np.log2(n)))
+
+
+def dense_preamble_corr(spec: FrameSpec, ring: jnp.ndarray) -> jnp.ndarray:
+    """Normalized matched-filter score at every lag of ``ring`` [n] -> [n].
+
+    score[i] = |sum_j ring[i+j] * mf[j]| / sqrt(sum_j |ring[i+j]|^2), the
+    same statistic as `PREAMBLE_FORM::find_preamble` (`OFDM/Frame.cpp:338-378`)
+    but computed for all lags at once via frequency-domain correlation.
+    Lags whose window energy is <= 1 score 0; lags whose window runs past the
+    end score 0.
+    """
+    n = ring.shape[-1]
+    L = spec.cfg.pr_sin_len
+    m = _fft_len(n + L)
+    mf = np.zeros(m, dtype=np.complex128)
+    mf[:L] = spec.matched_filter
+    # corr[i] = sum_j ring[i+j]*mf[j].  The circular identity
+    # ifft(fft(x)*conj(fft(y)))[i] = sum_j x[i+j]*conj(y[j]) needs y = conj(mf)
+    # because the stored matched filter is already conjugated (Frame.cpp:285-294).
+    mf_f = np.conj(np.fft.fft(np.conj(mf)))
+    rf = jnp.fft.fft(ring, n=m)
+    corr = jnp.fft.ifft(rf * jnp.asarray(mf_f, dtype=rf.dtype))[..., :n]
+    e = jnp.abs(ring) ** 2
+    ce = jnp.concatenate([jnp.zeros((1,), e.dtype), jnp.cumsum(e)])
+    # window energy for lag i over [i, i+L); lags past n-L (partial window) -> 0
+    norm = jnp.pad(ce[L:] - ce[: n + 1 - L], (0, L - 1))[:n]
+    return jnp.where(norm > 1.0,
+                     jnp.abs(corr) / jnp.sqrt(jnp.maximum(norm, 1e-30)), 0.0)
+
+
+def extract_hits(spec: FrameSpec, score: jnp.ndarray, min_pos: jnp.ndarray,
+                 max_frames: int):
+    """Greedy first-hit walk: repeatedly take the first lag over pr_level at or
+    after the cursor, then advance the cursor by ``message_len``
+    (`rx.cpp:158-198` advance rule).  Returns (positions [max_frames],
+    valid [max_frames]).  Positions carry the reference's +1 quirk
+    (`main.cpp:53`, `rx.cpp:158`)."""
+    n = score.shape[-1]
+    lags = jnp.arange(n, dtype=jnp.int32)
+    hit = score > spec.cfg.pr_level
+    # a decodable hit needs a full frame window in the ring:
+    # frame spans [p+1-t2sin, p+1-t2sin+frame_len)
+    last_ok = n - spec.cfg.frame_len + spec.cfg.t2sin_size - 1
+    hit = jnp.logical_and(hit, lags <= last_ok)
+
+    def body(k, carry):
+        cursor, pos_arr, val_arr = carry
+        cand = jnp.logical_and(hit, lags >= cursor)
+        idx = jnp.argmax(cand)
+        found = jnp.any(cand)
+        pos = jnp.where(found, idx + 1, -1).astype(jnp.int32)  # +1 quirk
+        new_cursor = jnp.where(found, pos + spec.cfg.message_len, n).astype(jnp.int32)
+        pos_arr = pos_arr.at[k].set(pos)
+        val_arr = val_arr.at[k].set(found)
+        return new_cursor, pos_arr, val_arr
+
+    cursor0 = jnp.maximum(min_pos.astype(jnp.int32), 0)
+    init = (cursor0,
+            jnp.full((max_frames,), -1, dtype=jnp.int32),
+            jnp.zeros((max_frames,), dtype=bool))
+    _, positions, valid = jax.lax.fori_loop(0, max_frames, body, init)
+    return positions, valid
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def process_buffer(spec: FrameSpec, state: StreamState, block: jnp.ndarray,
+                   max_frames: int = 0):
+    """Consume one ingest buffer [rx_buf_size * frame_len] of IQ; return
+    (new_state, StreamOut) with up to ``max_frames`` decoded frames.
+
+    The ring is [carry | block] (`rx.cpp:73-91` double-buffer update with the
+    one-frame carry in front).
+    """
+    cfg = spec.cfg
+    max_frames = max_frames or (cfg.rx_buf_size + 1)
+    block = block.astype(spec.dtype)
+    carry = jnp.where(state.carry_valid, state.carry,
+                      jnp.zeros_like(state.carry))
+    ring = jnp.concatenate([carry, block])
+    n = ring.shape[-1]
+
+    score = dense_preamble_corr(spec, ring)
+    positions, valid = extract_hits(spec, score, state.next_min_pos, max_frames)
+
+    # gather frame windows (invalid slots read position 0 — masked later)
+    starts = jnp.where(valid, positions - cfg.t2sin_size, 0).astype(jnp.int32)
+    starts = jnp.clip(starts, 0, n - cfg.frame_len)
+
+    frames = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(ring, s, cfg.frame_len))(starts)
+    res = rxm.demod_frame(spec, frames)
+    diag = res.constellation.real + res.constellation.imag
+
+    num_found = valid.sum().astype(jnp.int32)
+
+    # carry the ring tail; next admissible lag maps back by the slide amount
+    slide = n - cfg.frame_len
+    new_carry = ring[slide:]
+    # the cursor after the last decoded frame, translated into the next ring
+    last_pos = jnp.max(jnp.where(valid, positions, -1))
+    cursor_end = jnp.where(num_found > 0, last_pos + cfg.message_len, 0)
+    next_min = jnp.maximum(cursor_end - slide, 0).astype(jnp.int32)
+
+    new_state = StreamState(
+        carry=new_carry,
+        carry_valid=jnp.asarray(True),
+        next_min_pos=next_min,
+        frames_seen=state.frames_seen + num_found,
+    )
+    out = StreamOut(res.mac_bytes, diag, positions, valid, num_found, res.cfo)
+    return new_state, out
+
+
+class StreamingReceiver:
+    """Host-side convenience wrapper: feed ingest buffers, collect frames.
+
+    Mirrors the role of the rx.cpp main loop; the per-buffer device step is
+    one fused jit call.
+    """
+
+    def __init__(self, spec: FrameSpec, max_frames: int = 0):
+        self.spec = spec
+        self.max_frames = max_frames or (spec.cfg.rx_buf_size + 1)
+        self.state = init_state(spec)
+
+    def feed(self, block) -> StreamOut:
+        self.state, out = process_buffer(self.spec, self.state,
+                                         jnp.asarray(block), self.max_frames)
+        return out
+
+    def feed_int16(self, raw) -> StreamOut:
+        from . import tx as txm
+        return self.feed(txm.from_int16(self.spec, jnp.asarray(raw)))

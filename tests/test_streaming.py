@@ -1,0 +1,112 @@
+"""Streaming receiver: multi-frame buffers, boundary-straddling frames,
+exactly-once decode, golden-capture replay."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from c_ofdm_tpu.mac.mac import Mac
+from c_ofdm_tpu.models import streaming, tx as txm
+from c_ofdm_tpu.models.streaming import StreamingReceiver
+
+
+def _make_stream(spec, cfg, n_frames, gap, seed=0, snr_db=28.0, cfo=1e-4,
+                 lead=777):
+    """n_frames back-to-back (plus `gap` noise samples between) frames with
+    seq-stamped MAC payloads, embedded in a noisy stream."""
+    mac = Mac(frame_bytes=cfg.frame_bytes, spread=cfg.mod_type)
+    rng = np.random.default_rng(seed)
+    payloads = rng.integers(0, 256, (n_frames, mac.payload), dtype=np.uint8)
+    wire = mac.write(jnp.asarray(payloads),
+                     jnp.arange(n_frames, dtype=jnp.uint32))
+    frames = np.asarray(txm.transmit(spec, wire))
+    sig_parts = [np.zeros(lead, dtype=frames.dtype)]
+    for i in range(n_frames):
+        sig_parts.append(frames[i])
+        if gap:
+            sig_parts.append(np.zeros(gap, dtype=frames.dtype))
+    sig = np.concatenate(sig_parts)
+    n = np.arange(sig.size)
+    sig = sig * np.exp(2j * np.pi * cfo * n) * 60.0
+    noise_pow = (np.abs(frames) ** 2).mean() * 60.0 ** 2 * 10 ** (-snr_db / 10)
+    noise = (rng.standard_normal(sig.size) + 1j * rng.standard_normal(sig.size))
+    sig = sig + noise * np.sqrt(noise_pow / 2)
+    return sig.astype(np.complex64), payloads, mac
+
+
+def _run_stream(spec, cfg, sig, mac, max_frames=8):
+    buf_len = cfg.rx_buf_size * cfg.frame_len
+    pad = (-sig.size) % buf_len
+    sig = np.concatenate([sig, np.zeros(pad, dtype=sig.dtype)])
+    rxr = StreamingReceiver(spec, max_frames=max_frames)
+    got = []
+    for i in range(sig.size // buf_len):
+        out = rxr.feed(sig[i * buf_len:(i + 1) * buf_len])
+        valid = np.asarray(out.valid)
+        for k in np.nonzero(valid)[0]:
+            frame = mac.read_soft(out.diag[k])
+            got.append((int(np.asarray(frame.seq)),
+                        np.asarray(frame.payload),
+                        bool(np.asarray(frame.valid))))
+    return got
+
+
+def test_stream_multiframe_one_buffer(spec64, cfg):
+    sig, payloads, mac = _make_stream(spec64, cfg, n_frames=5, gap=3000)
+    got = _run_stream(spec64, cfg, sig, mac)
+    assert len(got) == 5
+    for i, (seq, pl, ok) in enumerate(got):
+        assert seq == i and ok
+        assert np.array_equal(pl, payloads[i])
+
+
+def test_stream_boundary_straddling_frames(spec64, cfg):
+    """Frames placed so several straddle ingest-buffer boundaries; every frame
+    must be decoded exactly once, in order (reference carry-over semantics,
+    rx.cpp:147-156)."""
+    buf_len = cfg.rx_buf_size * cfg.frame_len
+    # gap chosen so frame k starts at lead + k*(frame_len+gap); with gap such
+    # that some frame crosses each multiple of buf_len
+    sig, payloads, mac = _make_stream(spec64, cfg, n_frames=90, gap=17,
+                                      lead=buf_len - 2 * cfg.frame_len - 351)
+    got = _run_stream(spec64, cfg, sig, mac, max_frames=45)
+    assert len(got) == 90, f"decoded {len(got)} of 90"
+    for i, (seq, pl, ok) in enumerate(got):
+        assert seq == i and ok, (i, seq, ok)
+        assert np.array_equal(pl, payloads[i])
+
+
+def test_stream_back_to_back_frames(spec64, cfg):
+    sig, payloads, mac = _make_stream(spec64, cfg, n_frames=12, gap=0,
+                                      snr_db=30.0, cfo=-2e-4)
+    got = _run_stream(spec64, cfg, sig, mac, max_frames=45)
+    assert len(got) == 12
+    assert all(ok for _, _, ok in got)
+    assert [s for s, _, _ in got] == list(range(12))
+
+
+def test_stream_golden_capture(spec128, cfg, ref_decoded_text):
+    """Feed the committed OTA ring through the streaming path: the known frame
+    (present twice in the ring) must decode with the War-and-Peace payload."""
+    d = np.fromfile("/root/reference/data/data.bin", dtype=np.float64)
+    cap = (d[::2] + 1j * d[1::2])
+    mac = Mac(frame_bytes=cfg.frame_bytes, spread=cfg.mod_type)
+    buf_len = cfg.rx_buf_size * cfg.frame_len
+    pad = (-cap.size) % buf_len
+    cap = np.concatenate([cap, np.zeros(pad, dtype=cap.dtype)])
+    rxr = StreamingReceiver(spec128, max_frames=8)
+    decoded = []
+    for i in range(cap.size // buf_len):
+        out = rxr.feed(cap[i * buf_len:(i + 1) * buf_len])
+        for k in np.nonzero(np.asarray(out.valid))[0]:
+            frame = mac.read_soft(out.diag[k])
+            decoded.append(np.asarray(frame.payload).tobytes())
+    assert len(decoded) >= 1
+    assert decoded[0] == ref_decoded_text
+
+
+def test_stream_silence_no_frames(spec64, cfg):
+    rxr = StreamingReceiver(spec64)
+    out = rxr.feed(np.zeros(cfg.rx_buf_size * cfg.frame_len, dtype=np.complex64))
+    assert int(np.asarray(out.num_found)) == 0
+    assert not np.asarray(out.valid).any()
