@@ -1,0 +1,100 @@
+"""Sharded receiver: shard_map over a {channel, time} mesh.
+
+Long captures are split into contiguous time blocks, one per device along the
+``time`` axis; independent streams ride the ``channel`` axis.  Each device
+receives its right neighbor's first ``frame_len`` samples via ``ppermute``
+over ICI (the distributed overlap-save halo — reference counterpart is the
+single-process carry-over memcpy, `rx.cpp:147-156`), detects every frame whose
+*start* lies inside its own block (exactly-once ownership rule), and demods
+locally.  After the one halo exchange, blocks are fully independent — frame
+sync/CFO/channel state never crosses a frame boundary (every estimator reads
+only within one frame: `OFDM/Frame.hpp:238-337,389-434`), which is what makes
+near-linear scaling possible.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..models import rx as rxm
+from ..models import streaming
+from ..models.frame import FrameSpec
+from .mesh import CHANNEL_AXIS, TIME_AXIS
+
+
+def _local_receive(spec: FrameSpec, block: jnp.ndarray, halo: jnp.ndarray,
+                   max_frames: int):
+    """Decode frames starting inside ``block`` [block_len], using ``halo``
+    [frame_len] (the right neighbor's head) to complete boundary frames."""
+    cfg = spec.cfg
+    block_len = block.shape[-1]
+    ext = jnp.concatenate([block, halo], axis=-1)
+    score = streaming.dense_preamble_corr(spec, ext)
+    positions, valid = streaming.extract_hits(
+        spec, score, jnp.asarray(0, jnp.int32), max_frames)
+    starts = positions - cfg.t2sin_size
+    # ownership: the frame's first sample lies in this device's block
+    valid = jnp.logical_and(valid,
+                            jnp.logical_and(starts >= 0, starts < block_len))
+    gather = jnp.clip(jnp.where(valid, starts, 0), 0,
+                      ext.shape[-1] - cfg.frame_len)
+    frames = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(ext, s, cfg.frame_len))(gather)
+    res = rxm.demod_frame(spec, frames)
+    diag = res.constellation.real + res.constellation.imag
+    return streaming.StreamOut(res.mac_bytes, diag, positions, valid,
+                               valid.sum().astype(jnp.int32), res.cfo)
+
+
+def make_sharded_receiver(spec: FrameSpec, mesh, max_frames_per_block: int):
+    """Build a jitted sharded bulk receiver.
+
+    Input  captures [n_channel_total, total_len] sharded (channel, time);
+    output StreamOut with leading dims [n_channel_total, n_time, max_frames]
+    (positions are block-local; valid masks ownership).
+    """
+
+    def step(captures: jnp.ndarray):
+        def per_shard(local):                      # [ch_local, block_len]
+            heads = local[..., : spec.cfg.frame_len]
+            n_time = jax.lax.psum(1, TIME_AXIS)
+            # pass each block's head LEFT so device i sees block i+1's head
+            halo = jax.lax.ppermute(
+                heads, TIME_AXIS,
+                perm=[(i, (i - 1) % n_time) for i in range(n_time)])
+            # the last device wraps to the first channel-row block, which is
+            # wrong data — but its frames there fail ownership or decode to
+            # invalid; zero it for cleanliness
+            t = jax.lax.axis_index(TIME_AXIS)
+            halo = jnp.where(t == n_time - 1, jnp.zeros_like(halo), halo)
+            out = jax.vmap(lambda b, h: _local_receive(
+                spec, b, h, max_frames_per_block))(local, halo)
+            # add the n_time axis back for the global view
+            return jax.tree.map(lambda x: x[:, None], out)
+
+        return shard_map(
+            per_shard, mesh=mesh,
+            in_specs=P(CHANNEL_AXIS, TIME_AXIS),
+            out_specs=jax.tree.map(lambda _: P(CHANNEL_AXIS, TIME_AXIS),
+                                   _out_tree_proto()),
+            check_vma=False,
+        )(captures)
+
+    return jax.jit(step)
+
+
+def _out_tree_proto():
+    return streaming.StreamOut(0, 0, 0, 0, 0, 0)
+
+
+def global_positions(spec: FrameSpec, out: streaming.StreamOut,
+                     block_len: int):
+    """Convert block-local preamble positions to capture-global ones."""
+    n_time = out.positions.shape[1]
+    offs = (jnp.arange(n_time) * block_len)[None, :, None]
+    return jnp.where(out.valid, out.positions + offs, -1)
