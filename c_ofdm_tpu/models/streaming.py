@@ -28,7 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import fft as fftops
+from ..ops import fft as fftops  # noqa: F401
+from ..ops import sync
 from .frame import FrameSpec
 from . import rx as rxm
 
@@ -60,36 +61,10 @@ def init_state(spec: FrameSpec, dtype=None) -> StreamState:
     )
 
 
-def _fft_len(n: int) -> int:
-    return 1 << int(np.ceil(np.log2(n)))
-
-
 def dense_preamble_corr(spec: FrameSpec, ring: jnp.ndarray) -> jnp.ndarray:
-    """Normalized matched-filter score at every lag of ``ring`` [n] -> [n].
-
-    score[i] = |sum_j ring[i+j] * mf[j]| / sqrt(sum_j |ring[i+j]|^2), the
-    same statistic as `PREAMBLE_FORM::find_preamble` (`OFDM/Frame.cpp:338-378`)
-    but computed for all lags at once via frequency-domain correlation.
-    Lags whose window energy is <= 1 score 0; lags whose window runs past the
-    end score 0.
-    """
-    n = ring.shape[-1]
-    L = spec.cfg.pr_sin_len
-    m = _fft_len(n + L)
-    mf = np.zeros(m, dtype=np.complex128)
-    mf[:L] = spec.matched_filter
-    # corr[i] = sum_j ring[i+j]*mf[j].  The circular identity
-    # ifft(fft(x)*conj(fft(y)))[i] = sum_j x[i+j]*conj(y[j]) needs y = conj(mf)
-    # because the stored matched filter is already conjugated (Frame.cpp:285-294).
-    mf_f = np.conj(np.fft.fft(np.conj(mf)))
-    rf = jnp.fft.fft(ring, n=m)
-    corr = jnp.fft.ifft(rf * jnp.asarray(mf_f, dtype=rf.dtype))[..., :n]
-    e = jnp.abs(ring) ** 2
-    ce = jnp.concatenate([jnp.zeros((1,), e.dtype), jnp.cumsum(e)])
-    # window energy for lag i over [i, i+L); lags past n-L (partial window) -> 0
-    norm = jnp.pad(ce[L:] - ce[: n + 1 - L], (0, L - 1))[:n]
-    return jnp.where(norm > 1.0,
-                     jnp.abs(corr) / jnp.sqrt(jnp.maximum(norm, 1e-30)), 0.0)
+    """Normalized matched-filter score at every lag of ``ring`` [..., n]
+    (see ops.sync.matched_filter_scores)."""
+    return sync.matched_filter_scores(spec, ring)
 
 
 def extract_hits(spec: FrameSpec, score: jnp.ndarray, min_pos: jnp.ndarray,
@@ -173,6 +148,26 @@ def process_buffer(spec: FrameSpec, state: StreamState, block: jnp.ndarray,
     )
     out = StreamOut(res.mac_bytes, diag, positions, valid, num_found, res.cfo)
     return new_state, out
+
+
+def save_state(path: str, state: StreamState) -> None:
+    """Checkpoint the resumable stream state (the reference's implicit
+    pos/ring/counters, `rx.cpp:69,114-124` — here explicit and tiny)."""
+    np.savez(path,
+             carry=np.asarray(state.carry),
+             carry_valid=np.asarray(state.carry_valid),
+             next_min_pos=np.asarray(state.next_min_pos),
+             frames_seen=np.asarray(state.frames_seen))
+
+
+def load_state(path: str) -> StreamState:
+    z = np.load(path if path.endswith(".npz") else path + ".npz")
+    return StreamState(
+        carry=jnp.asarray(z["carry"]),
+        carry_valid=jnp.asarray(z["carry_valid"]),
+        next_min_pos=jnp.asarray(z["next_min_pos"]),
+        frames_seen=jnp.asarray(z["frames_seen"]),
+    )
 
 
 class StreamingReceiver:

@@ -42,16 +42,30 @@ def ofdm_demodulate(spec, time_syms: jnp.ndarray) -> jnp.ndarray:
     return data.reshape(*lead, nsym * cfg.num_data_subc)
 
 
+def _tx_bin_maps(spec):
+    """Gather-based frequency-bin construction (TPU scatters are slow): each
+    FFT bin reads from index ``src[bin]`` of [pilot_ampl, data..., 0]."""
+    cfg = spec.cfg
+    src = np.full(cfg.fft_size, 1 + cfg.num_data_subc, dtype=np.int32)  # zero slot
+    src[spec.pilot_bins] = 0                                            # pilot slot
+    src[spec.data_bins] = 1 + np.arange(cfg.num_data_subc, dtype=np.int32)
+    return src
+
+
 def ofdm_modulate(spec, points: jnp.ndarray, num_symb: int) -> jnp.ndarray:
     """Segment-order points [..., nsym*num_data_subc] -> time [..., nsym, ofdm_len]
     incl. CP (`OFDM/Frame.cpp:54-70,185-198`): pilots at pilot_ampl, backward
-    FFT / sqrt(N), CP = copy of the symbol tail."""
+    FFT / sqrt(N), CP = copy of the symbol tail.
+
+    The pilot/data scatter is expressed as a single gather through a
+    precomputed per-bin source map (scatters lower poorly on TPU)."""
     cfg = spec.cfg
     lead = points.shape[:-1]
-    freq = jnp.zeros((*lead, num_symb, cfg.fft_size), dtype=points.dtype)
-    freq = freq.at[..., jnp.asarray(spec.pilot_bins)].set(cfg.pilot_ampl)
-    freq = freq.at[..., jnp.asarray(spec.data_bins)].set(
-        points.reshape(*lead, num_symb, cfg.num_data_subc))
+    data = points.reshape(*lead, num_symb, cfg.num_data_subc)
+    pilot = jnp.full((*lead, num_symb, 1), cfg.pilot_ampl, dtype=points.dtype)
+    zero = jnp.zeros((*lead, num_symb, 1), dtype=points.dtype)
+    lookup = jnp.concatenate([pilot, data, zero], axis=-1)
+    freq = lookup[..., jnp.asarray(_tx_bin_maps(spec))]
     time = fftops.ifft_unnorm(freq) / np.sqrt(cfg.fft_size)
     return jnp.concatenate([time[..., -cfg.cp_size:], time], axis=-1)
 
@@ -73,7 +87,20 @@ def unwrap_one_step(phase: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(out, 0, -1)
 
 
-def chan_est_lq(spec, preamble_sig: jnp.ndarray) -> jnp.ndarray:
+def unwrap_fast(phase: jnp.ndarray) -> jnp.ndarray:
+    """Standard accumulating unwrap via diff+round+cumsum — fully parallel
+    (no sequential scan; the 127-step scan above costs more than the rest of
+    the channel estimator on TPU).  Identical to ``unwrap_one_step`` whenever
+    successive corrected differences stay within 3π, which holds for any
+    physical timing offset this modem can sync to."""
+    d = jnp.diff(phase, axis=-1)
+    k = jnp.round(d / (2 * np.pi))
+    corr = jnp.cumsum(k, axis=-1) * (2 * np.pi)
+    return jnp.concatenate([phase[..., :1], phase[..., 1:] - corr], axis=-1)
+
+
+def chan_est_lq(spec, preamble_sig: jnp.ndarray,
+                exact_unwrap: bool = False) -> jnp.ndarray:
     """Linear-phase LS estimate over the lower half-band, mirrored to the upper
     half (`OFDM/Frame.hpp:389-434`).  Reproduces the reference's exact fit
     formula (sums where a standard LS uses means).
@@ -84,7 +111,8 @@ def chan_est_lq(spec, preamble_sig: jnp.ndarray) -> jnp.ndarray:
     pr = ofdm_demodulate(spec, syms)
     mod_pre = jnp.asarray(spec.preamble_points, dtype=pr.dtype)
     half = cfg.num_data_subc // 2
-    phase = unwrap_one_step(jnp.angle(pr[..., :half] / mod_pre[:half]))
+    unwrap = unwrap_one_step if exact_unwrap else unwrap_fast
+    phase = unwrap(jnp.angle(pr[..., :half] / mod_pre[:half]))
     i = jnp.asarray(np.arange(half), dtype=phase.dtype)
     sx, sxx = i.sum(), (i * i).sum()
     sy = phase.sum(-1)

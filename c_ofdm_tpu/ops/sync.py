@@ -85,26 +85,49 @@ def find_t2sin(spec, capture: jnp.ndarray, start: jnp.ndarray = 0,
     return jnp.where(found, idx * size + start, -1), found
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << int(np.ceil(np.log2(n)))
+
+
+def matched_filter_scores(spec, x: jnp.ndarray) -> jnp.ndarray:
+    """Normalized matched-filter score at every lag of x [..., n] -> [..., n].
+
+    score[i] = |sum_j x[i+j] * mf[j]| / sqrt(sum_j |x[i+j]|^2) — the statistic
+    of `PREAMBLE_FORM::find_preamble` (`OFDM/Frame.cpp:338-378`) — computed
+    for all lags at once by frequency-domain correlation (one batched FFT
+    instead of n serial dot products / an n*L window gather).  Lags whose
+    window energy is <= 1 or whose window runs past the end score 0.
+    """
+    n = x.shape[-1]
+    L = spec.cfg.pr_sin_len
+    m = _next_pow2(n + L)
+    mf_pad = np.zeros(m, dtype=np.complex128)
+    mf_pad[:L] = spec.matched_filter
+    # ifft(fft(x) * conj(fft(y)))[i] = sum_j x[i+j]*conj(y[j]); the stored
+    # filter is already conjugated (Frame.cpp:285-294), so y = conj(mf).
+    mf_f = np.conj(np.fft.fft(np.conj(mf_pad)))
+    xf = jnp.fft.fft(x, n=m)
+    corr = jnp.abs(jnp.fft.ifft(xf * jnp.asarray(mf_f, dtype=xf.dtype))[..., :n])
+    e = jnp.abs(x) ** 2
+    zero = jnp.zeros((*x.shape[:-1], 1), e.dtype)
+    ce = jnp.concatenate([zero, jnp.cumsum(e, axis=-1)], axis=-1)
+    norm = ce[..., L:] - ce[..., : n + 1 - L]        # [..., n+1-L]
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, L - 1)]
+    norm = jnp.pad(norm, pad)[..., :n]
+    return jnp.where(norm > 1.0,
+                     corr / jnp.sqrt(jnp.maximum(norm, 1e-30)), 0.0)
+
+
 def preamble_corr_track(spec, capture: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
     """Normalized matched-filter correlation at lags [start, start+sync_window).
 
-    capture [n] (single stream; vmap for batches), start scalar (may be traced).
-    Positions whose window energy is <= 1 score 0 (`Frame.cpp:357-364`).
+    capture [..., n], start scalar (may be traced).  Positions whose window
+    energy is <= 1 score 0 (`Frame.cpp:357-364`).
     """
     L = spec.cfg.pr_sin_len
     W = spec.cfg.sync_window
-    region_len = W + L
-    region = jax_dynamic_window(capture, start, region_len)
-    # windows[i] = region[i : i+L]  ->  [W, L]
-    idx = np.arange(W)[:, None] + np.arange(L)[None, :]
-    windows = region[idx]
-    mf = jnp.asarray(spec.matched_filter, dtype=capture.dtype)
-    corr = jnp.abs(windows @ mf)
-    e = jnp.abs(region) ** 2
-    ce = jnp.concatenate([jnp.zeros((1,), e.dtype), jnp.cumsum(e)])
-    norm = ce[L:L + W] - ce[:W]
-    score = jnp.where(norm > 1.0, corr / jnp.sqrt(jnp.maximum(norm, 1e-30)), 0.0)
-    return score
+    region = jax_dynamic_window(capture, start, W + L)
+    return matched_filter_scores(spec, region)[..., :W]
 
 
 def jax_dynamic_window(x: jnp.ndarray, start: jnp.ndarray, length: int) -> jnp.ndarray:
