@@ -10,13 +10,13 @@ assembly -> two-tone detect -> preamble matched-filter sync -> coarse pilot
 CFO -> derotation -> per-symbol CP CFO -> common phase -> LS channel est ->
 batched FFT + pilot equalization -> hard demap -> bytes.
 
-Measurement method: the TPU here sits behind a relay with ~30 ms round-trip
-latency, unreliable block_until_ready, and execution memoization of repeated
-identical dispatches.  We therefore (a) run K steps *inside one executable*
-via lax.map over distinct inputs, (b) force a host readback of a
-data-dependent checksum, and (c) report the marginal per-step time
-(t(K) - t(1)) / (K - 1), taking the best of several repetitions with
-perturbed inputs.
+Measurement notes for this environment: the TPU sits behind a relay where
+(a) every compiled executable costs minutes of remote compile, (b) repeated
+identical dispatches are memoized, and (c) block_until_ready is unreliable.
+So: ONE executable total — a device-side fori_loop whose trip count is a
+*traced* argument — timed at two trip counts with distinct per-step inputs
+(step i consumes pool[i mod K]), forced host readback of a data-dependent
+checksum, and the marginal time (t_hi - t_lo)/(k_hi - k_lo) reported.
 """
 
 import json
@@ -30,43 +30,46 @@ import jax.numpy as jnp
 BASELINE_SAMPLES_PER_S = 25.0e6
 
 
-def build_many_step(spec):
+def build_runner(spec, K):
     from c_ofdm_tpu.models import rx as rxm
     from c_ofdm_tpu.models import tx as txm
 
     def step(payload):
         frames = txm.transmit(spec, payload)
         res, s = jax.vmap(lambda c: rxm.receive_capture(spec, c))(frames)
-        return res.mac_bytes.astype(jnp.uint32).sum() + s.found.sum()
+        return (res.mac_bytes.astype(jnp.uint32).sum()
+                + s.found.sum().astype(jnp.uint32))
 
-    return jax.jit(lambda pool: jax.lax.map(step, pool).sum())
+    def run(pool, k):
+        def body(i, acc):
+            return acc + step(pool[i % K])
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
-
-def _timed(f, pool, reps):
-    best = float("inf")
-    for r in range(reps):
-        p = (pool + np.uint8(2 * r + 1)).astype(jnp.uint8)
-        float(p.sum())                      # materialize input
-        t0 = time.perf_counter()
-        float(f(p))                          # forced readback
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return jax.jit(run)
 
 
-def bench_batch(spec, B, k_lo=4, k_hi=36, reps=3):
-    """Marginal per-step time between two device-side loop lengths — exactly
-    two executables to compile (relay compiles cost ~90 s each)."""
-    f = build_many_step(spec)
+def bench(spec, B=256, K=8, k_lo=4, k_hi=36, reps=3):
+    f = build_runner(spec, K)
     rng = np.random.default_rng(B)
-    pool_lo = jnp.asarray(rng.integers(0, 256, (k_lo, B, spec.cfg.frame_bytes),
-                                       dtype=np.uint8))
-    pool_hi = jnp.asarray(rng.integers(0, 256, (k_hi, B, spec.cfg.frame_bytes),
-                                       dtype=np.uint8))
-    float(f(pool_lo))                        # compile
-    float(f(pool_hi))
-    t_lo = _timed(f, pool_lo, reps)
-    t_hi = _timed(f, pool_hi, reps)
+    t0 = time.perf_counter()
+    pools = [jnp.asarray(rng.integers(0, 256, (K, B, spec.cfg.frame_bytes),
+                                      dtype=np.uint8)) for _ in range(reps)]
+    float(f(pools[0], 1))   # the single compile
+    print(f"compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    def timed(k):
+        best = float("inf")
+        for p in pools:      # distinct data per rep defeats memoization
+            t0 = time.perf_counter()
+            float(f(p, k))   # forced readback
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo = timed(k_lo)
+    t_hi = timed(k_hi)
     per_step = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    print(f"t({k_lo})={t_lo*1e3:.1f}ms t({k_hi})={t_hi*1e3:.1f}ms",
+          file=sys.stderr, flush=True)
     return B * spec.cfg.frame_len / per_step, per_step
 
 
@@ -75,9 +78,9 @@ def main():
 
     spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64)
     B = 256
-    sps, per = bench_batch(spec, B)
+    sps, per = bench(spec, B)
     print(f"B={B}: {sps/1e6:.1f} Msamples/s ({per*1e3:.3f} ms/step)",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "ofdm_tx_rx_samples_per_s_per_chip",
         "value": round(sps, 1),
