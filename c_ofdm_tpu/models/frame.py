@@ -34,6 +34,7 @@ class FrameSpec:
     matched_filter: np.ndarray      # [pr_sin_len] complex, unit norm, conjugated
     cfo_borders: np.ndarray         # [num_pilot_subc+2] int, pilot windows after fftshift
     cfo_window_mask: np.ndarray     # [num_pilot_subc+1] bool, True = use window
+    fft_backend: str = "xla"        # "xla" | "matmul" | "pallas" (symbol FFTs)
 
     @property
     def rdtype(self):
@@ -63,11 +64,13 @@ def _cfo_borders(cfg: ModemConfig):
     return borders, mask
 
 
-def make_frame_spec(cfg: ModemConfig = None, dtype=jnp.complex64) -> FrameSpec:
+def make_frame_spec(cfg: ModemConfig = None, dtype=jnp.complex64,
+                    fft_backend: str = "xla") -> FrameSpec:
     cfg = cfg or ModemConfig()
     pilots, data_bins = oracle.subcarrier_maps(cfg)
     borders, wmask = _cfo_borders(cfg)
     return FrameSpec(
+        fft_backend=fft_backend,
         cfg=cfg,
         dtype=dtype,
         pilot_bins=pilots.astype(np.int32),

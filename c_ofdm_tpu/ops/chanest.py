@@ -28,7 +28,7 @@ def ofdm_demodulate(spec, time_syms: jnp.ndarray) -> jnp.ndarray:
     + per-segment division by (pilot / same pilot in symbol 0).
     """
     cfg = spec.cfg
-    freq = fftops.fft_fwd(time_syms)
+    freq = fftops.fft_fwd(time_syms, getattr(spec, 'fft_backend', 'xla'))
     pil = freq[..., jnp.asarray(spec.pilot_bins)]            # [..., nsym, P]
     phys = jnp.abs(pil).mean(axis=(-1, -2)) / cfg.pilot_ampl  # [...]
     freq = freq / phys[..., None, None].astype(freq.dtype)
@@ -66,7 +66,7 @@ def ofdm_modulate(spec, points: jnp.ndarray, num_symb: int) -> jnp.ndarray:
     zero = jnp.zeros((*lead, num_symb, 1), dtype=points.dtype)
     lookup = jnp.concatenate([pilot, data, zero], axis=-1)
     freq = lookup[..., jnp.asarray(_tx_bin_maps(spec))]
-    time = fftops.ifft_unnorm(freq) / np.sqrt(cfg.fft_size)
+    time = fftops.ifft_unnorm(freq, getattr(spec, 'fft_backend', 'xla')) / np.sqrt(cfg.fft_size)
     return jnp.concatenate([time[..., -cfg.cp_size:], time], axis=-1)
 
 

@@ -37,6 +37,9 @@ def fft_fwd(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
     """Unnormalized forward FFT along the last axis."""
     if backend == "matmul":
         return _matmul_dft(x, sign=-1)
+    if backend == "pallas" and x.dtype == jnp.complex64:
+        from . import pallas_fft
+        return pallas_fft.dft_pallas(x, sign=-1)
     return jnp.fft.fft(x)
 
 
@@ -44,6 +47,9 @@ def ifft_unnorm(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
     """Unnormalized backward FFT (FFTW convention) along the last axis."""
     if backend == "matmul":
         return _matmul_dft(x, sign=+1)
+    if backend == "pallas" and x.dtype == jnp.complex64:
+        from . import pallas_fft
+        return pallas_fft.dft_pallas(x, sign=+1)
     return jnp.fft.ifft(x) * x.shape[-1]
 
 

@@ -1,0 +1,77 @@
+"""Perf experiments: per-component marginal step time on TPU.
+
+Each variant is one executable (fori_loop trick from bench.py).  Run one
+variant per invocation (each costs a ~4-5 min relay compile):
+
+  python perf_variants.py full|tx|demod|sync|full_matmul|full_pallas
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from c_ofdm_tpu import ModemConfig, make_frame_spec
+from c_ofdm_tpu.models import rx as rxm, tx as txm
+
+B, K, K_LO, K_HI, REPS = 256, 8, 4, 36, 3
+
+
+def make_step(name):
+    backend = {"full_matmul": "matmul", "full_pallas": "pallas"}.get(name, "xla")
+    spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64,
+                           fft_backend=backend)
+
+    def tx_only(payload):
+        return jnp.abs(txm.transmit(spec, payload)).sum().astype(jnp.uint32)
+
+    def demod(payload):
+        frames = txm.transmit(spec, payload)
+        return rxm.demod_frame(spec, frames).mac_bytes.astype(jnp.uint32).sum()
+
+    def sync_only(payload):
+        frames = txm.transmit(spec, payload)
+        s = jax.vmap(lambda c: rxm.synchronize(spec, c).frame_start)(frames)
+        return s.sum().astype(jnp.uint32)
+
+    def full(payload):
+        frames = txm.transmit(spec, payload)
+        res, s = jax.vmap(lambda c: rxm.receive_capture(spec, c))(frames)
+        return res.mac_bytes.astype(jnp.uint32).sum() + s.found.sum().astype(jnp.uint32)
+
+    return {"tx": tx_only, "demod": demod, "sync": sync_only,
+            "full": full, "full_matmul": full, "full_pallas": full}[name], spec
+
+
+def main(name):
+    step, spec = make_step(name)
+
+    def run(pool, k):
+        return jax.lax.fori_loop(
+            0, k, lambda i, acc: acc + step(pool[i % K]), jnp.uint32(0))
+
+    f = jax.jit(run)
+    rng = np.random.default_rng(1)
+    pools = [jnp.asarray(rng.integers(0, 256, (K, B, spec.cfg.frame_bytes),
+                                      dtype=np.uint8)) for _ in range(REPS)]
+    t0 = time.perf_counter()
+    float(f(pools[0], 1))
+    print(f"{name}: compile {time.perf_counter()-t0:.0f}s", flush=True)
+
+    def timed(k):
+        return min(_one(f, p, k) for p in pools)
+
+    def _one(f, p, k):
+        t0 = time.perf_counter()
+        float(f(p, k))
+        return time.perf_counter() - t0
+
+    t_lo, t_hi = timed(K_LO), timed(K_HI)
+    per = (t_hi - t_lo) / (K_HI - K_LO)
+    print(f"{name}: per-step {per*1e3:.3f} ms  "
+          f"({B*spec.cfg.frame_len/per/1e6:.0f} Msamples/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])

@@ -29,3 +29,17 @@ def test_pallas_dft_leading_dims():
     ref = np.fft.fft(x)
     assert y.shape == x.shape
     assert np.allclose(y, ref, atol=2e-2 * np.abs(ref).max())
+
+
+def test_pallas_backend_loopback(cfg):
+    """Full TX->RX loopback with the pallas DFT backend (interpret on CPU)."""
+    import jax.numpy as jnp
+    from c_ofdm_tpu.models.frame import make_frame_spec
+    from c_ofdm_tpu.models import rx as rxm, tx as txm
+
+    spec = make_frame_spec(cfg, dtype=jnp.complex64, fft_backend="pallas")
+    rng = np.random.default_rng(0)
+    payload = rng.integers(0, 256, (2, cfg.frame_bytes), dtype=np.uint8)
+    frames = txm.transmit(spec, jnp.asarray(payload))
+    res = rxm.demod_frame(spec, frames)
+    assert np.array_equal(np.asarray(res.mac_bytes), payload)
