@@ -37,10 +37,10 @@ def demod_frame(spec: FrameSpec, frame_sig: jnp.ndarray,
     """
     cfg = spec.cfg
     sig = frame_sig[..., cfg.t2sin_size:]
-    shift = cfo.pilot_freq_shift(spec, sig)
-    sig = cfo.apply_freq_shift(sig, shift)
-    sig = cfo.cp_freq_correct(spec, sig)
-    sig = cfo.common_phase_correct(spec, sig)
+    # fused recovery: algebraically identical to the sequential
+    # pilot_freq_shift -> apply_freq_shift -> cp_freq_correct ->
+    # common_phase_correct chain, in one rotation pass (ops/cfo.py)
+    sig, shift = cfo.recover_fused(spec, sig)
     pre = sig[..., : cfg.preamble_len]
     chan = (chanest.chan_est_lq if estimator == "lq" else chanest.chan_est_full)(
         spec, pre)

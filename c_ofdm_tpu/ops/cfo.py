@@ -64,6 +64,47 @@ def cp_freq_correct(spec, sig: jnp.ndarray) -> jnp.ndarray:
     return (sym * corr).reshape(*lead, nsym * ol)
 
 
+def recover_fused(spec, sig: jnp.ndarray):
+    """All four recovery stages in one pass: coarse pilot CFO + per-symbol CP
+    CFO + common phase, applied as a SINGLE complex rotation.
+
+    Algebraically identical to the sequential reference chain
+    (`main.cpp:60-63`): the CP phase of a derotated symbol equals the raw CP
+    phase rotated by e^{-2πi·f·fft} (the conj product shifts by a constant
+    under derotation), and scalar phases cancel inside conj products — so all
+    estimates can be made from the raw signal and composed into one per-sample
+    angle.  Replaces three full-signal transcendental+HBM passes with one.
+
+    Returns (corrected_sig, coarse_shift).
+    """
+    cfg = spec.cfg
+    ol, fft, cp = cfg.ofdm_len, cfg.fft_size, cfg.cp_size
+    lead = sig.shape[:-1]
+    n = sig.shape[-1]
+    nsym = n // ol
+    rdt = sig.real.dtype
+
+    shift = pilot_freq_shift(spec, sig)                      # [...]
+    sym = sig.reshape(*lead, nsym, ol)
+    raw = (jnp.conj(sym[..., :cp]) * sym[..., fft:]).sum(-1)  # [..., nsym]
+    # derotation adds a constant -2π·shift·fft to each CP-product's phase
+    off = (-2 * np.pi * fft) * shift
+    rot = jnp.exp(1j * off.astype(rdt))[..., None].astype(sig.dtype)
+    theta = jnp.angle(raw * rot) / fft                       # [..., nsym]
+    acc = jnp.cumsum(theta * ol, axis=-1) - theta * ol       # exclusive
+    j = jnp.asarray(np.arange(ol), dtype=rdt)
+    a_sym = acc[..., None] + theta[..., None] * j            # [..., nsym, ol]
+    narr = jnp.asarray(np.arange(n), dtype=rdt)
+    angle = (2 * np.pi) * shift[..., None] * narr + a_sym.reshape(*lead, n)
+    corr = jnp.exp(-1j * angle.astype(rdt)).astype(sig.dtype)
+    # common phase vs the known preamble, measured on the corrected prefix
+    pre = jnp.asarray(np.conj(spec.preamble_time), dtype=sig.dtype)
+    L = pre.shape[0]
+    p = jnp.angle((pre * sig[..., :L] * corr[..., :L]).sum(-1))
+    scalar = jnp.exp(-1j * p.astype(rdt)).astype(sig.dtype)
+    return sig * corr * scalar[..., None], shift
+
+
 def common_phase_correct(spec, sig: jnp.ndarray) -> jnp.ndarray:
     """Common phase vs the known preamble (`OFDM/Frame.hpp:265-274`).
     sig [..., n] with the preamble at the front."""

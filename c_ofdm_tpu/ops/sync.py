@@ -15,6 +15,7 @@ compute than a full FFT per block, and all of it MXU-friendly.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import fft as fftops
@@ -75,7 +76,7 @@ def find_t2sin(spec, capture: jnp.ndarray, start: jnp.ndarray = 0,
     """
     size = spec.cfg.t2sin_size
     n = capture.shape[-1]
-    shifted = jnp.roll(capture, -start, axis=-1)
+    shifted = jax_dynamic_window(capture, start, n)
     track = t2_ratio_track(spec, shifted, backend)
     nblk = track.shape[-1]
     # blocks that would run past the original end (wrapped samples) are invalid
@@ -133,15 +134,15 @@ def preamble_corr_track(spec, capture: jnp.ndarray, start: jnp.ndarray) -> jnp.n
 def jax_dynamic_window(x: jnp.ndarray, start: jnp.ndarray, length: int) -> jnp.ndarray:
     """dynamic_slice along the last axis with out-of-range reads zeroed.
 
-    lax.dynamic_slice clamps the start index; instead we shift with roll so the
-    slice is always in-bounds, then zero the positions past the true end —
-    preserving the reference's "window energy 0 past the buffer" behavior.
+    Zero-pad by ``length`` then slice — one bounded dynamic_slice instead of a
+    full-array roll/gather, preserving the reference's "window energy 0 past
+    the buffer" behavior.
     """
     n = x.shape[-1]
-    shifted = jnp.roll(x, -start, axis=-1)
-    window = shifted[..., :length]
-    valid = jnp.arange(length) < (n - start)
-    return jnp.where(valid, window, 0)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, length)]
+    padded = jnp.pad(x, pad)
+    start = jnp.clip(jnp.asarray(start, jnp.int32), 0, n)
+    return jax.lax.dynamic_slice_in_dim(padded, start, length, axis=-1)
 
 
 def find_preamble(spec, capture: jnp.ndarray, start: jnp.ndarray):

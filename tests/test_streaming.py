@@ -110,3 +110,25 @@ def test_stream_silence_no_frames(spec64, cfg):
     out = rxr.feed(np.zeros(cfg.rx_buf_size * cfg.frame_len, dtype=np.complex64))
     assert int(np.asarray(out.num_found)) == 0
     assert not np.asarray(out.valid).any()
+
+
+def test_stream_sync_loss_and_recovery(spec64, cfg):
+    """A dropout (pure noise) mid-stream must not derail the receiver: frames
+    after the outage decode normally and the seq gap is observable
+    (reference behavior: sync-loss -> refill -> resync, rx.cpp:137-166)."""
+    from c_ofdm_tpu.models.streaming import StreamingReceiver
+    sig_a, payloads_a, mac = _make_stream(spec64, cfg, n_frames=3, gap=1000,
+                                          seed=10)
+    sig_b, payloads_b, _ = _make_stream(spec64, cfg, n_frames=3, gap=1000,
+                                        seed=11)
+    rng = np.random.default_rng(12)
+    buf_len = cfg.rx_buf_size * cfg.frame_len
+    noise = (rng.standard_normal(buf_len) + 1j * rng.standard_normal(buf_len)
+             ).astype(np.complex64) * 0.5
+    sig = np.concatenate([sig_a, noise, sig_b])
+    got = _run_stream(spec64, cfg, sig, mac, max_frames=10)
+    assert len(got) == 6
+    assert [s for s, _, _ in got] == [0, 1, 2, 0, 1, 2]
+    for i, (seq, pl, ok) in enumerate(got):
+        assert ok
+        assert np.array_equal(pl, (payloads_a if i < 3 else payloads_b)[seq])
