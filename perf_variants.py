@@ -15,7 +15,9 @@ import jax.numpy as jnp
 from c_ofdm_tpu import ModemConfig, make_frame_spec
 from c_ofdm_tpu.models import rx as rxm, tx as txm
 
-B, K, K_LO, K_HI, REPS = 256, 8, 4, 36, 3
+import os
+B = int(os.environ.get("PV_B", 256))
+K, K_LO, K_HI, REPS = 8, 4, 36, 3
 
 
 def make_step(name):
