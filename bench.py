@@ -76,7 +76,8 @@ def bench(spec, B=256, K=8, k_lo=4, k_hi=36, reps=3):
 def main():
     from c_ofdm_tpu import ModemConfig, make_frame_spec
 
-    spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64)
+    spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64,
+                           fft_backend="matmul")
     B = 256
     sps, per = bench(spec, B)
     print(f"B={B}: {sps/1e6:.1f} Msamples/s ({per*1e3:.3f} ms/step)",

@@ -107,6 +107,8 @@ def matched_filter_scores(spec, x: jnp.ndarray) -> jnp.ndarray:
     # ifft(fft(x) * conj(fft(y)))[i] = sum_j x[i+j]*conj(y[j]); the stored
     # filter is already conjugated (Frame.cpp:285-294), so y = conj(mf).
     mf_f = np.conj(np.fft.fft(np.conj(mf_pad)))
+    # measured on-TPU: the correlation FFT pair is faster via XLA than
+    # matmul-DFT (unlike the symbol FFTs, which route via spec.fft_backend)
     xf = jnp.fft.fft(x, n=m)
     corr = jnp.abs(jnp.fft.ifft(xf * jnp.asarray(mf_f, dtype=xf.dtype))[..., :n])
     e = jnp.abs(x) ** 2

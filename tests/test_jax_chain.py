@@ -72,3 +72,16 @@ def test_int16_staging_roundtrip(spec64, cfg):
     # and the demod still works on the quantized signal
     res = rxm.demod_frames_jit(spec64, back[None, :] / cfg.mult)
     assert np.array_equal(np.asarray(res.mac_bytes)[0], payload)
+
+
+def test_golden_capture_matmul_backend(cfg, ref_capture, ref_decoded_text):
+    """The MXU matmul-DFT backend (the TPU production path) must decode the
+    golden capture identically in complex64."""
+    import jax.numpy as jnp
+    from c_ofdm_tpu.models.frame import make_frame_spec
+    spec = make_frame_spec(cfg, dtype=jnp.complex64, fft_backend="matmul")
+    cap = jnp.asarray(ref_capture.astype(np.complex64))
+    res, s = rxm.receive_capture_jit(spec, cap)
+    assert bool(s.found) and int(s.pr_begin) == 11040
+    dec = _decode_mac_payload(res.mac_bytes, np.asarray(res.constellation))
+    assert dec[8:8 + len(ref_decoded_text)] == ref_decoded_text
