@@ -35,8 +35,8 @@ def dft_rows(n: int, rows: np.ndarray, sign: int = -1) -> np.ndarray:
 
 def fft_fwd(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
     """Unnormalized forward FFT along the last axis."""
-    if backend == "matmul":
-        return _matmul_dft(x, sign=-1)
+    if backend in ("matmul", "matmul_bf16"):
+        return _matmul_dft(x, sign=-1, bf16=backend.endswith("bf16"))
     if backend == "pallas" and x.dtype == jnp.complex64:
         from . import pallas_fft
         return pallas_fft.dft_pallas(x, sign=-1)
@@ -45,25 +45,33 @@ def fft_fwd(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
 
 def ifft_unnorm(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
     """Unnormalized backward FFT (FFTW convention) along the last axis."""
-    if backend == "matmul":
-        return _matmul_dft(x, sign=+1)
+    if backend in ("matmul", "matmul_bf16"):
+        return _matmul_dft(x, sign=+1, bf16=backend.endswith("bf16"))
     if backend == "pallas" and x.dtype == jnp.complex64:
         from . import pallas_fft
         return pallas_fft.dft_pallas(x, sign=+1)
     return jnp.fft.ifft(x) * x.shape[-1]
 
 
-def _matmul_dft(x: jnp.ndarray, sign: int) -> jnp.ndarray:
-    """Complex DFT as 4 real matmuls (MXU path); preserves complex dtype."""
+def _matmul_dft(x: jnp.ndarray, sign: int, bf16: bool = False) -> jnp.ndarray:
+    """Complex DFT as 4 real matmuls (MXU path); preserves complex dtype.
+
+    ``bf16``: operands in bfloat16 with float32 accumulation — double MXU
+    rate; per-bin relative error ~1e-3 after the N-term sum, comfortably
+    inside the link's EVM budget for QAM16/64 (validated in tests).
+    """
     n = x.shape[-1]
     w = _dft_matrix_np(n, sign)
     rdt = jnp.finfo(x.real.dtype).dtype
-    wr = jnp.asarray(w.real, dtype=rdt)
-    wi = jnp.asarray(w.imag, dtype=rdt)
-    xr, xi = x.real, x.imag
-    yr = xr @ wr - xi @ wi
-    yi = xr @ wi + xi @ wr
-    return jax_lax_complex(yr, yi)
+    mdt = jnp.bfloat16 if bf16 else rdt
+    wr = jnp.asarray(w.real, dtype=mdt)
+    wi = jnp.asarray(w.imag, dtype=mdt)
+    xr = x.real.astype(mdt)
+    xi = x.imag.astype(mdt)
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=rdt)  # noqa: E731
+    yr = dot(xr, wr) - dot(xi, wi)
+    yi = dot(xr, wi) + dot(xi, wr)
+    return jax_lax_complex(yr.astype(rdt), yi.astype(rdt))
 
 
 def jax_lax_complex(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:

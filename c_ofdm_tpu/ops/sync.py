@@ -76,7 +76,10 @@ def find_t2sin(spec, capture: jnp.ndarray, start: jnp.ndarray = 0,
     """
     size = spec.cfg.t2sin_size
     n = capture.shape[-1]
-    shifted = jax_dynamic_window(capture, start, n)
+    if isinstance(start, int) and start == 0:
+        shifted = capture          # common static case: no realignment copy
+    else:
+        shifted = jax_dynamic_window(capture, start, n)
     track = t2_ratio_track(spec, shifted, backend)
     nblk = track.shape[-1]
     # blocks that would run past the original end (wrapped samples) are invalid

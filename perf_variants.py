@@ -21,7 +21,8 @@ K, K_LO, K_HI, REPS = 8, 4, 36, 3
 
 
 def make_step(name):
-    backend = {"full_matmul": "matmul", "full_pallas": "pallas"}.get(name, "xla")
+    backend = {"full_matmul": "matmul", "full_pallas": "pallas",
+               "full_bf16": "matmul_bf16"}.get(name, "xla")
     spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64,
                            fft_backend=backend)
 
@@ -43,7 +44,8 @@ def make_step(name):
         return res.mac_bytes.astype(jnp.uint32).sum() + s.found.sum().astype(jnp.uint32)
 
     return {"tx": tx_only, "demod": demod, "sync": sync_only,
-            "full": full, "full_matmul": full, "full_pallas": full}[name], spec
+            "full": full, "full_matmul": full, "full_pallas": full,
+            "full_bf16": full}[name], spec
 
 
 def main(name):

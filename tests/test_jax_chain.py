@@ -85,3 +85,20 @@ def test_golden_capture_matmul_backend(cfg, ref_capture, ref_decoded_text):
     assert bool(s.found) and int(s.pr_begin) == 11040
     dec = _decode_mac_payload(res.mac_bytes, np.asarray(res.constellation))
     assert dec[8:8 + len(ref_decoded_text)] == ref_decoded_text
+
+
+def test_golden_capture_matmul_bf16_backend(cfg, ref_capture, ref_constell,
+                                            ref_decoded_text):
+    """bf16-operand MXU DFT: decode must be identical; EVM penalty tiny."""
+    import jax.numpy as jnp
+    from c_ofdm_tpu.models.frame import make_frame_spec
+    spec = make_frame_spec(cfg, dtype=jnp.complex64, fft_backend="matmul_bf16")
+    cap = jnp.asarray(ref_capture.astype(np.complex64))
+    res, s = rxm.receive_capture_jit(spec, cap)
+    assert bool(s.found) and int(s.pr_begin) == 11040
+    const = np.asarray(res.constellation)
+    err = np.sqrt(np.mean(np.abs(const - ref_constell) ** 2))
+    scale = np.sqrt(np.mean(np.abs(ref_constell) ** 2))
+    assert err / scale < 2e-2, err / scale   # bf16 adds <2% EVM
+    dec = _decode_mac_payload(res.mac_bytes, const)
+    assert dec[8:8 + len(ref_decoded_text)] == ref_decoded_text
