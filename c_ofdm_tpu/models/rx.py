@@ -105,6 +105,17 @@ def receive_batch_jit(spec: FrameSpec, captures: jnp.ndarray,
     return jax.vmap(lambda c: receive_capture(spec, c, estimator))(captures)
 
 
+def receive_batch(spec: FrameSpec, captures: jnp.ndarray,
+                  estimator: str = "lq"):
+    """Batched single-frame RX with only the scalar sync under vmap; the
+    frame gather and the whole demod chain run batch-native (larger fused
+    kernels / matmuls than vmapping the full per-capture pipeline)."""
+    s = jax.vmap(lambda c: synchronize(spec, c))(captures)
+    frames = jax.vmap(lambda c, st: extract_frame(spec, c, st))(
+        captures, s.frame_start)
+    return demod_frame(spec, frames, estimator), s
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def demod_frames_jit(spec: FrameSpec, frames: jnp.ndarray,
                      estimator: str = "lq") -> RxResult:

@@ -93,6 +93,18 @@ def _next_pow2(n: int) -> int:
     return 1 << int(np.ceil(np.log2(n)))
 
 
+def _corr_fft(spec, x: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Circular correlation of x[..., m_or_less] with the matched filter via
+    an m-point FFT pair: ifft(fft(x)*conj(fft(conj(mf)))) — the stored filter
+    is already conjugated (Frame.cpp:285-294)."""
+    L = spec.cfg.pr_sin_len
+    mf_pad = np.zeros(m, dtype=np.complex128)
+    mf_pad[:L] = spec.matched_filter
+    mf_f = np.conj(np.fft.fft(np.conj(mf_pad)))
+    xf = jnp.fft.fft(x, n=m)
+    return jnp.fft.ifft(xf * jnp.asarray(mf_f, dtype=xf.dtype))
+
+
 def matched_filter_scores(spec, x: jnp.ndarray) -> jnp.ndarray:
     """Normalized matched-filter score at every lag of x [..., n] -> [..., n].
 
@@ -105,15 +117,20 @@ def matched_filter_scores(spec, x: jnp.ndarray) -> jnp.ndarray:
     n = x.shape[-1]
     L = spec.cfg.pr_sin_len
     m = _next_pow2(n + L)
-    mf_pad = np.zeros(m, dtype=np.complex128)
-    mf_pad[:L] = spec.matched_filter
-    # ifft(fft(x) * conj(fft(y)))[i] = sum_j x[i+j]*conj(y[j]); the stored
-    # filter is already conjugated (Frame.cpp:285-294), so y = conj(mf).
-    mf_f = np.conj(np.fft.fft(np.conj(mf_pad)))
-    # measured on-TPU: the correlation FFT pair is faster via XLA than
-    # matmul-DFT (unlike the symbol FFTs, which route via spec.fft_backend)
-    xf = jnp.fft.fft(x, n=m)
-    corr = jnp.abs(jnp.fft.ifft(xf * jnp.asarray(mf_f, dtype=xf.dtype))[..., :n])
+    if m <= 8192:
+        corr = jnp.abs(_corr_fft(spec, x, m)[..., :n])
+    else:
+        # segmented overlap-save: one giant FFT compiles pathologically on
+        # TPU; batched 4096-pt chunk FFTs are fast to compile AND execute
+        C = 4096
+        hop = C - L + 1
+        nchunks = -(-n // hop)
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, nchunks * hop + L - n)]
+        xp = jnp.pad(x, pad)
+        idx = (np.arange(nchunks)[:, None] * hop + np.arange(C)[None, :])
+        chunks = xp[..., idx]                      # [..., nchunks, C]
+        cc = _corr_fft(spec, chunks, C)[..., :hop]  # valid lags per chunk
+        corr = jnp.abs(cc.reshape(*x.shape[:-1], nchunks * hop)[..., :n])
     e = jnp.abs(x) ** 2
     zero = jnp.zeros((*x.shape[:-1], 1), e.dtype)
     ce = jnp.concatenate([zero, jnp.cumsum(e, axis=-1)], axis=-1)

@@ -40,7 +40,7 @@ def make_step(name):
 
     def full(payload):
         frames = txm.transmit(spec, payload)
-        res, s = jax.vmap(lambda c: rxm.receive_capture(spec, c))(frames)
+        res, s = rxm.receive_batch(spec, frames)
         return res.mac_bytes.astype(jnp.uint32).sum() + s.found.sum().astype(jnp.uint32)
 
     return {"tx": tx_only, "demod": demod, "sync": sync_only,
@@ -77,5 +77,59 @@ def main(name):
           f"({B*spec.cfg.frame_len/per/1e6:.0f} Msamples/s)", flush=True)
 
 
+def main_stream():
+    """Sustained streaming-pipeline throughput (BASELINE config #5): lax.scan
+    over ingest buffers with carry-state threading, 41-frame rings."""
+    from c_ofdm_tpu.mac.mac import Mac
+    from c_ofdm_tpu.models import streaming
+
+    import os as _os
+    rbs = int(_os.environ.get("PV_RING", 40))
+    spec = make_frame_spec(ModemConfig(rx_buf_size=rbs), dtype=jnp.complex64,
+                           fft_backend="matmul")
+    cfg = spec.cfg
+    buf_len = cfg.rx_buf_size * cfg.frame_len
+    S = 4
+    mac = Mac(frame_bytes=cfg.frame_bytes, spread=cfg.mod_type)
+    rng = np.random.default_rng(0)
+    n_frames = (S * buf_len) // cfg.frame_len
+    payloads = rng.integers(0, 256, (n_frames, mac.payload), dtype=np.uint8)
+    wire = mac.write(jnp.asarray(payloads), jnp.arange(n_frames, dtype=jnp.uint32))
+    frames = np.asarray(txm.transmit(spec, wire)).reshape(-1)
+    stream = np.zeros(S * buf_len, dtype=np.complex64)
+    stream[:frames.size] = frames
+    pool = jnp.asarray(stream.reshape(S, buf_len))
+
+    def run(pool, k):
+        def body(i, carry):
+            state, acc = carry
+            state, out = streaming.process_buffer(spec, state,
+                                                  pool[i % S], rbs + 1)
+            return state, acc + out.num_found
+        st0 = streaming.init_state(spec)
+        return jax.lax.fori_loop(0, k, body, (st0, jnp.int32(0)))[1]
+
+    f = jax.jit(run)
+    t0 = time.perf_counter()
+    print("found (k=1):", int(f(pool, 1)), flush=True)
+    print(f"stream: compile {time.perf_counter()-t0:.0f}s", flush=True)
+
+    def timed(k, r):
+        p = pool * np.complex64(1.0 + 1e-6 * r)
+        t0 = time.perf_counter()
+        v = int(f(p, k))
+        return time.perf_counter() - t0
+
+    t_lo = min(timed(K_LO, r) for r in range(REPS))
+    t_hi = min(timed(K_HI, r) for r in range(REPS))
+    per = (t_hi - t_lo) / (K_HI - K_LO)
+    print(f"stream: per-buffer {per*1e3:.3f} ms "
+          f"({buf_len/per/1e6:.0f} Msamples/s sustained, "
+          f"{cfg.rx_buf_size/per:.0f} frames/s)", flush=True)
+
+
 if __name__ == "__main__":
-    main(sys.argv[1])
+    if sys.argv[1] == "stream":
+        main_stream()
+    else:
+        main(sys.argv[1])
