@@ -30,6 +30,13 @@ def main(argv=None):
     p.add_argument("--f64", action="store_true", help="complex128 (CPU)")
     args = p.parse_args(argv)
 
+    if args.f64:
+        # complex128 runs on CPU (TPU has no f64); env vars alone are not
+        # enough where a sitecustomize pre-registers an accelerator backend
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
     from c_ofdm_tpu import ModemConfig, load_config, make_frame_spec
     from c_ofdm_tpu.channel.sim import ChannelParams, apply_channel
     from c_ofdm_tpu.io import binio

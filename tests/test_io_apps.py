@@ -89,3 +89,14 @@ def test_loopback_app_replay_golden(tmp_path):
     assert out.returncode == 0, out.stdout + out.stderr
     assert "FRAME FROM 1 TO 0 SEQ 0" in out.stdout
     assert "ACCURACY: 1.0" in out.stdout
+
+
+def test_unified_cli_dispatch():
+    from c_ofdm_tpu.__main__ import main, APPS
+    import importlib
+    assert main([]) == 0
+    assert main(["nosuch"]) == 2
+    # every registered app resolves to a module with a main(argv) entry
+    for target, _ in APPS.values():
+        mod = importlib.import_module(f"c_ofdm_tpu.{target}")
+        assert callable(mod.main)
