@@ -97,3 +97,24 @@ def test_sharded_channel_axis_independent(spec64, cfg, mesh8):
                 fr = mac.read_soft(jnp.asarray(np.asarray(out.diag)[ch, t, k]))
                 assert np.array_equal(np.asarray(fr.payload),
                                       pls[int(np.asarray(fr.seq))])
+
+
+def test_make_global_capture_sharding(spec64, cfg, mesh8):
+    """parallel.ingest places a host-local capture with the canonical
+    (channel, time) sharding; receiver output matches an unsharded input."""
+    from c_ofdm_tpu.parallel.ingest import capture_sharding, make_global_capture
+
+    block_len = 4 * cfg.frame_len
+    total_len = 4 * block_len
+    starts = [3000, block_len + 100, 2 * block_len + cfg.frame_len]
+    sig, payloads, mac = _build_capture(spec64, cfg, len(starts), total_len,
+                                        starts, seed=11)
+    caps = np.stack([sig, sig])
+    arr = make_global_capture(mesh8, caps)
+    assert arr.sharding == capture_sharding(mesh8)
+    recv = make_sharded_receiver(spec64, mesh8, max_frames_per_block=4)
+    out_sharded = recv(arr)
+    out_plain = recv(jnp.asarray(caps))
+    for a, b in zip(jax.tree.leaves(out_sharded), jax.tree.leaves(out_plain)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(out_sharded.num_found.sum()) == 2 * len(starts)
