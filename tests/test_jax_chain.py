@@ -102,3 +102,30 @@ def test_golden_capture_matmul_bf16_backend(cfg, ref_capture, ref_constell,
     assert err / scale < 2e-2, err / scale   # bf16 adds <2% EVM
     dec = _decode_mac_payload(res.mac_bytes, const)
     assert dec[8:8 + len(ref_decoded_text)] == ref_decoded_text
+
+
+def test_receive_batch_matches_per_capture(spec64, cfg, ref_capture):
+    """The batch-native path (sync-only vmap) must agree with the fully
+    vmapped per-capture path on a mixed batch: golden capture + clean
+    loopback frame + all-zero (sync miss)."""
+    import jax
+
+    cap = jnp.asarray(ref_capture.astype(np.complex64))
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 256, cfg.frame_bytes, dtype=np.uint8)
+    frame = txm.transmit(spec64, jnp.asarray(payload))
+    pad = jnp.zeros(cap.shape[-1] - frame.shape[-1], jnp.complex64)
+    batch = jnp.stack([cap, jnp.concatenate([frame, pad]), jnp.zeros_like(cap)])
+
+    res_a, s_a = jax.jit(rxm.receive_batch, static_argnums=(0,))(spec64, batch)
+    res_b, s_b = rxm.receive_batch_jit(spec64, batch)
+    np.testing.assert_array_equal(np.asarray(s_a.frame_start),
+                                  np.asarray(s_b.frame_start))
+    np.testing.assert_array_equal(np.asarray(s_a.found), np.asarray(s_b.found))
+    for k in range(2):   # frame 2 is a sync miss -> garbage by contract
+        np.testing.assert_allclose(np.asarray(res_a.constellation[k]),
+                                   np.asarray(res_b.constellation[k]),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(res_a.mac_bytes[k]),
+                                      np.asarray(res_b.mac_bytes[k]))
+    assert list(np.asarray(s_a.found)) == [True, True, False]
