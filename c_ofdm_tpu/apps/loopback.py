@@ -33,7 +33,6 @@ def main(argv=None):
     if args.f64:
         # complex128 runs on CPU (TPU has no f64); env vars alone are not
         # enough where a sitecustomize pre-registers an accelerator backend
-        import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
 
