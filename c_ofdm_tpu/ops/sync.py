@@ -14,6 +14,8 @@ compute than a full FFT per block, and all of it MXU-friendly.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -105,19 +107,56 @@ def _corr_fft(spec, x: jnp.ndarray, m: int) -> jnp.ndarray:
     return jnp.fft.ifft(xf * jnp.asarray(mf_f, dtype=xf.dtype))
 
 
+@functools.lru_cache(maxsize=16)
+def _toeplitz_mf_np(mf_bytes: bytes, L: int, n: int):
+    """Banded-Toeplitz correlation operator T [n+L, n]: (x_pad @ T)[lag] =
+    sum_j x[lag+j]*mf[j].  Constant per (filter, length); lives in HBM and
+    streams through the MXU once per matmul."""
+    mf = np.frombuffer(mf_bytes, dtype=np.complex128)
+    T = np.zeros((n + L, n), dtype=np.complex128)
+    k = np.arange(n + L)[:, None]
+    lag = np.arange(n)[None, :]
+    d = k - lag
+    band = (d >= 0) & (d < L)
+    T[band] = mf[d[band]]
+    return T
+
+
+def _corr_toeplitz(spec, x: jnp.ndarray) -> jnp.ndarray:
+    """Correlation at every lag of x [..., n] as one constant matmul —
+    MXU path for short sync windows, where batched small FFTs lose badly.
+    The stored filter is already conjugated (Frame.cpp:285-294)."""
+    n = x.shape[-1]
+    L = spec.cfg.pr_sin_len
+    mf = np.asarray(spec.matched_filter, dtype=np.complex128)
+    T = _toeplitz_mf_np(mf.tobytes(), L, n)
+    rdt = jnp.finfo(x.real.dtype).dtype
+    wr = jnp.asarray(T.real, dtype=rdt)
+    wi = jnp.asarray(T.imag, dtype=rdt)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, L)]
+    xp = jnp.pad(x, pad)
+    xr, xi = xp.real, xp.imag
+    yr = xr @ wr - xi @ wi
+    yi = xr @ wi + xi @ wr
+    return jnp.sqrt(yr * yr + yi * yi)
+
+
 def matched_filter_scores(spec, x: jnp.ndarray) -> jnp.ndarray:
     """Normalized matched-filter score at every lag of x [..., n] -> [..., n].
 
     score[i] = |sum_j x[i+j] * mf[j]| / sqrt(sum_j |x[i+j]|^2) — the statistic
     of `PREAMBLE_FORM::find_preamble` (`OFDM/Frame.cpp:338-378`) — computed
-    for all lags at once by frequency-domain correlation (one batched FFT
-    instead of n serial dot products / an n*L window gather).  Lags whose
-    window energy is <= 1 or whose window runs past the end score 0.
+    for all lags at once.  Short windows (the per-frame sync search) go
+    through a constant banded-Toeplitz matmul on the MXU; long captures go
+    through frequency-domain overlap-save correlation.  Lags whose window
+    energy is <= 1 or whose window runs past the end score 0.
     """
     n = x.shape[-1]
     L = spec.cfg.pr_sin_len
     m = _next_pow2(n + L)
-    if m <= 8192:
+    if n <= 2048:
+        corr = _corr_toeplitz(spec, x)
+    elif m <= 8192:
         corr = jnp.abs(_corr_fft(spec, x, m)[..., :n])
     else:
         # segmented overlap-save: one giant FFT compiles pathologically on

@@ -22,7 +22,8 @@ K, K_LO, K_HI, REPS = 8, 4, 36, 3
 
 def make_step(name):
     backend = {"full_matmul": "matmul", "full_pallas": "pallas",
-               "full_bf16": "matmul_bf16"}.get(name, "xla")
+               "full_bf16": "matmul_bf16"}.get(
+                   name, os.environ.get("PV_BACKEND", "xla"))
     spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64,
                            fft_backend=backend)
 
