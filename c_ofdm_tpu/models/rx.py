@@ -76,7 +76,12 @@ def synchronize(spec: FrameSpec, capture: jnp.ndarray,
 
 def extract_frame(spec: FrameSpec, capture: jnp.ndarray,
                   frame_start: jnp.ndarray) -> jnp.ndarray:
-    """Gather one frame window [frame_len] starting at a traced position."""
+    """Gather one frame window [frame_len] starting at a traced position.
+
+    Measured on-TPU (B=256): the plain dynamic_slice beats the gather-free
+    one-hot shift decomposition (ops.sync.dynamic_window) for full-frame
+    windows — the decomposition only wins for the short block-aligned sync
+    windows (ops.sync.aligned_window)."""
     return jax.lax.dynamic_slice_in_dim(capture, frame_start, spec.cfg.frame_len)
 
 

@@ -18,7 +18,8 @@ def pilot_freq_shift(spec, preamble_sig: jnp.ndarray) -> jnp.ndarray:
     """Coarse CFO from pilot peaks of the fftshifted preamble spectrum
     (`OFDM/Frame.hpp:285-337`).  preamble_sig [..., preamble_len] -> [...]."""
     size = spec.cfg.preamble_len
-    # measured on-TPU: this lone 640-pt FFT is faster via XLA than matmul-DFT
+    # measured on-TPU (B=256): this lone 640-pt FFT is faster via XLA than
+    # matmul-DFT (demod step 0.179 vs 0.223 ms) — too skinny for the MXU
     amp = jnp.abs(jnp.fft.fftshift(
         fftops.fft_fwd(preamble_sig[..., :size]), axes=-1))
     borders = spec.cfo_borders

@@ -13,11 +13,22 @@ Plus the OFDM symbol-level pilot equalization that lives in ``FFT_FORM::read``
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from . import fft as fftops
+
+
+@functools.lru_cache(maxsize=16)
+def _rx_partial_basis_np(fft_size: int, pilot_bins: tuple, data_bins: tuple):
+    """DFT basis restricted to the bins the demodulator actually reads,
+    pilot-major: [fft, P + D].  Same math as the full transform (zero bins
+    contribute nothing); half the MXU FLOPs and no bin gathers."""
+    rows = np.concatenate([np.asarray(pilot_bins), np.asarray(data_bins)])
+    return fftops.dft_rows(fft_size, rows, sign=-1).T.copy()
 
 
 def ofdm_demodulate(spec, time_syms: jnp.ndarray) -> jnp.ndarray:
@@ -26,15 +37,28 @@ def ofdm_demodulate(spec, time_syms: jnp.ndarray) -> jnp.ndarray:
 
     Pilot amplitude normalization (mean |pilot| over ALL symbols of the call)
     + per-segment division by (pilot / same pilot in symbol 0).
+
+    On the matmul backends the transform is a *partial* DFT over only the
+    pilot+data bins (the other bins are guard/DC nulls nobody reads) — exact
+    same outputs, ~2x fewer MXU FLOPs, no gathers.
     """
     cfg = spec.cfg
-    freq = fftops.fft_fwd(time_syms, getattr(spec, 'fft_backend', 'xla'))
-    pil = freq[..., jnp.asarray(spec.pilot_bins)]            # [..., nsym, P]
+    backend = getattr(spec, 'fft_backend', 'xla')
+    P = cfg.num_pilot_subc
+    if backend in ("matmul", "matmul_bf16"):
+        w = _rx_partial_basis_np(cfg.fft_size, tuple(spec.pilot_bins),
+                                 tuple(spec.data_bins))
+        y = fftops.complex_matmul(time_syms, w, bf16=backend.endswith("bf16"))
+        pil = y[..., :P]                                      # [..., nsym, P]
+        data = y[..., P:]                                     # [..., nsym, D]
+    else:
+        freq = fftops.fft_fwd(time_syms, backend)
+        pil = freq[..., jnp.asarray(spec.pilot_bins)]
+        data = freq[..., jnp.asarray(spec.data_bins)]
     phys = jnp.abs(pil).mean(axis=(-1, -2)) / cfg.pilot_ampl  # [...]
-    freq = freq / phys[..., None, None].astype(freq.dtype)
+    data = data / phys[..., None, None].astype(data.dtype)
     pil = pil / phys[..., None, None].astype(pil.dtype)
-    coef = pil / pil[..., 0:1, :]                            # vs symbol 0
-    data = freq[..., jnp.asarray(spec.data_bins)]
+    coef = pil / pil[..., 0:1, :]                             # vs symbol 0
     lead = data.shape[:-2]
     nsym = data.shape[-2]
     data = data.reshape(*lead, nsym, cfg.num_pilot_subc, cfg.segment_size)
@@ -52,21 +76,45 @@ def _tx_bin_maps(spec):
     return src
 
 
+@functools.lru_cache(maxsize=16)
+def _tx_partial_basis_np(fft_size: int, pilot_bins: tuple, data_bins: tuple,
+                         pilot_ampl: float):
+    """Inverse-DFT basis over only the data bins [D, fft] (1/sqrt(N)
+    normalization folded in) plus the constant pilot-tone waveform [fft] —
+    the TX spectrum is zero everywhere else, so the full IFFT is wasted
+    FLOPs and the pilot contribution is data-independent."""
+    w_data = fftops.dft_rows(fft_size, np.asarray(data_bins), sign=+1)
+    w_pil = fftops.dft_rows(fft_size, np.asarray(pilot_bins), sign=+1)
+    scale = 1.0 / np.sqrt(fft_size)
+    return w_data * scale, pilot_ampl * scale * w_pil.sum(axis=0)
+
+
 def ofdm_modulate(spec, points: jnp.ndarray, num_symb: int) -> jnp.ndarray:
     """Segment-order points [..., nsym*num_data_subc] -> time [..., nsym, ofdm_len]
     incl. CP (`OFDM/Frame.cpp:54-70,185-198`): pilots at pilot_ampl, backward
     FFT / sqrt(N), CP = copy of the symbol tail.
 
-    The pilot/data scatter is expressed as a single gather through a
-    precomputed per-bin source map (scatters lower poorly on TPU)."""
+    Matmul backends synthesize time domain directly from the data points
+    (partial inverse DFT + precomputed pilot waveform — the spectrum is zero
+    outside pilot/data bins); the xla backend scatters bins via a gather map
+    and runs the full IFFT."""
     cfg = spec.cfg
     lead = points.shape[:-1]
+    backend = getattr(spec, 'fft_backend', 'xla')
     data = points.reshape(*lead, num_symb, cfg.num_data_subc)
-    pilot = jnp.full((*lead, num_symb, 1), cfg.pilot_ampl, dtype=points.dtype)
-    zero = jnp.zeros((*lead, num_symb, 1), dtype=points.dtype)
-    lookup = jnp.concatenate([pilot, data, zero], axis=-1)
-    freq = lookup[..., jnp.asarray(_tx_bin_maps(spec))]
-    time = fftops.ifft_unnorm(freq, getattr(spec, 'fft_backend', 'xla')) / np.sqrt(cfg.fft_size)
+    if backend in ("matmul", "matmul_bf16"):
+        w, pilot_time = _tx_partial_basis_np(
+            cfg.fft_size, tuple(spec.pilot_bins), tuple(spec.data_bins),
+            float(cfg.pilot_ampl))
+        time = fftops.complex_matmul(data, w, bf16=backend.endswith("bf16"))
+        time = time + jnp.asarray(pilot_time, dtype=time.dtype)
+    else:
+        pilot = jnp.full((*lead, num_symb, 1), cfg.pilot_ampl,
+                         dtype=points.dtype)
+        zero = jnp.zeros((*lead, num_symb, 1), dtype=points.dtype)
+        lookup = jnp.concatenate([pilot, data, zero], axis=-1)
+        freq = lookup[..., jnp.asarray(_tx_bin_maps(spec))]
+        time = fftops.ifft_unnorm(freq, backend) / np.sqrt(cfg.fft_size)
     return jnp.concatenate([time[..., -cfg.cp_size:], time], axis=-1)
 
 

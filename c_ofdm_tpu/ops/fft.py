@@ -53,15 +53,11 @@ def ifft_unnorm(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
     return jnp.fft.ifft(x) * x.shape[-1]
 
 
-def _matmul_dft(x: jnp.ndarray, sign: int, bf16: bool = False) -> jnp.ndarray:
-    """Complex DFT as 4 real matmuls (MXU path); preserves complex dtype.
+def complex_matmul(x: jnp.ndarray, w: np.ndarray, bf16: bool = False) -> jnp.ndarray:
+    """x [..., k] @ w [k, m] for complex operands as 4 real MXU matmuls.
 
-    ``bf16``: operands in bfloat16 with float32 accumulation — double MXU
-    rate; per-bin relative error ~1e-3 after the N-term sum, comfortably
-    inside the link's EVM budget for QAM16/64 (validated in tests).
-    """
-    n = x.shape[-1]
-    w = _dft_matrix_np(n, sign)
+    ``w`` is a host constant (DFT basis); ``bf16`` casts operands to bfloat16
+    with float32 accumulation (double MXU rate, ~1e-3 relative error)."""
     rdt = jnp.finfo(x.real.dtype).dtype
     mdt = jnp.bfloat16 if bf16 else rdt
     wr = jnp.asarray(w.real, dtype=mdt)
@@ -72,6 +68,16 @@ def _matmul_dft(x: jnp.ndarray, sign: int, bf16: bool = False) -> jnp.ndarray:
     yr = dot(xr, wr) - dot(xi, wi)
     yi = dot(xr, wi) + dot(xi, wr)
     return jax_lax_complex(yr.astype(rdt), yi.astype(rdt))
+
+
+def _matmul_dft(x: jnp.ndarray, sign: int, bf16: bool = False) -> jnp.ndarray:
+    """Complex DFT as 4 real matmuls (MXU path); preserves complex dtype.
+
+    ``bf16``: operands in bfloat16 with float32 accumulation — double MXU
+    rate; per-bin relative error ~1e-3 after the N-term sum, comfortably
+    inside the link's EVM budget for QAM16/64 (validated in tests).
+    """
+    return complex_matmul(x, _dft_matrix_np(x.shape[-1], sign), bf16)
 
 
 def jax_lax_complex(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:

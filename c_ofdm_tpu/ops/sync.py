@@ -185,11 +185,41 @@ def preamble_corr_track(spec, capture: jnp.ndarray, start: jnp.ndarray) -> jnp.n
 
     capture [..., n], start scalar (may be traced).  Positions whose window
     energy is <= 1 score 0 (`Frame.cpp:357-364`).
+
+    ``start`` always comes from the block-aligned two-tone detector, so the
+    window is taken gather-free via a one-hot block contraction.
     """
     L = spec.cfg.pr_sin_len
     W = spec.cfg.sync_window
-    region = jax_dynamic_window(capture, start, W + L)
+    region = aligned_window(capture, start, W + L, spec.cfg.t2sin_size)
     return matched_filter_scores(spec, region)[..., :W]
+
+
+def aligned_window(x: jnp.ndarray, start: jnp.ndarray, length: int,
+                   block: int) -> jnp.ndarray:
+    """Window of ``length`` at a traced start that is a multiple of ``block``,
+    with out-of-range reads zeroed — computed as a one-hot contraction over
+    block rows instead of a dynamic slice (vmapped dynamic slices lower to
+    slow gathers on TPU; this is a handful of tiny VPU contractions).
+
+    x [..., n]; start scalar broadcasting over leading dims.
+    """
+    n = x.shape[-1]
+    kk = -(-length // block)            # window blocks
+    nb = -(-n // block)                 # capture blocks
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, (nb + kk) * block - n)]
+    xb = jnp.pad(x, pad).reshape(*x.shape[:-1], nb + kk, block)
+    sb = jnp.clip(jnp.asarray(start, jnp.int32) // block, 0, nb - 1)
+    sb = jnp.broadcast_to(sb, x.shape[:-1])
+    rdt = jnp.finfo(x.real.dtype).dtype
+    oh = (jnp.arange(nb, dtype=jnp.int32) == sb[..., None]).astype(rdt)
+    sel = lambda a, j: jnp.einsum(  # noqa: E731  (real-valued contraction)
+        '...n,...nc->...c', oh, a[..., j:j + nb, :])
+    xr, xi = xb.real, xb.imag
+    parts = [(sel(xr, j) + 1j * sel(xi, j)).astype(x.dtype)
+             for j in range(kk)]
+    out = jnp.concatenate(parts, axis=-1)
+    return out[..., :length]
 
 
 def jax_dynamic_window(x: jnp.ndarray, start: jnp.ndarray, length: int) -> jnp.ndarray:
@@ -204,6 +234,40 @@ def jax_dynamic_window(x: jnp.ndarray, start: jnp.ndarray, length: int) -> jnp.n
     padded = jnp.pad(x, pad)
     start = jnp.clip(jnp.asarray(start, jnp.int32), 0, n)
     return jax.lax.dynamic_slice_in_dim(padded, start, length, axis=-1)
+
+
+def dynamic_window(x: jnp.ndarray, start: jnp.ndarray, length: int,
+                   block: int = 256) -> jnp.ndarray:
+    """Window of ``length`` at an ARBITRARY traced start, gather-free.
+
+    Decomposes start = block-aligned part + residual r (< block), then
+    r = hi*16 + lo: the aligned part is a one-hot block contraction
+    (``aligned_window``); each residual stage is a sum of 16 statically
+    shifted slices weighted by a one-hot — XLA fuses the 16-term
+    multiply-accumulate into one pass, versus the serial gather that a
+    vmapped dynamic_slice lowers to on TPU.  Out-of-range reads are zero
+    (same semantics as ``jax_dynamic_window``).
+    """
+    assert block == 256, "fine-shift factorization assumes 16*16 residual"
+    # clamp like lax.dynamic_slice: the window always fits inside x
+    start = jnp.clip(jnp.asarray(start, jnp.int32), 0,
+                     max(x.shape[-1] - length, 0))
+    coarse = aligned_window(x, (start // block) * block, length + block, block)
+    r = start % block
+    rdt = jnp.finfo(x.real.dtype).dtype
+
+    def shift16(y: jnp.ndarray, h: jnp.ndarray, step: int, out_len: int):
+        # real one-hot weights: complex * real costs 2 real mults, not 6
+        lead = y.shape[:-1]
+        oh = (jnp.arange(16, dtype=jnp.int32)
+              == jnp.broadcast_to(h, lead)[..., None]).astype(rdt)
+        acc = oh[..., 0:1] * y[..., :out_len]
+        for j in range(1, 16):
+            acc = acc + oh[..., j:j + 1] * y[..., j * step: j * step + out_len]
+        return acc
+
+    mid = shift16(coarse, r // 16, 16, length + 16)
+    return shift16(mid, r % 16, 1, length)
 
 
 def find_preamble(spec, capture: jnp.ndarray, start: jnp.ndarray):

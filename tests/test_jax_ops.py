@@ -1,6 +1,7 @@
 """JAX op parity vs the numpy oracle."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from c_ofdm_tpu.ops import bits as bitops
@@ -99,3 +100,42 @@ def test_cfo_estimators_match_oracle(spec128, cfg, ref_capture):
     chan_jax = np.asarray(chanest.chan_est_lq(spec128,
                                               jnp.asarray(p_ref[: cfg.preamble_len])))
     assert np.allclose(chan_jax, chan_ref, atol=1e-10)
+
+
+def test_window_ops_match_dynamic_slice(spec128):
+    """aligned_window (block-aligned one-hot contraction) and dynamic_window
+    (one-hot + 16x16 fine shift) must equal lax.dynamic_slice semantics —
+    they are the TPU gather-free forms of the sync/extract windows."""
+    rng = np.random.default_rng(7)
+    n = 6016
+    x = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    for st in (0, 256, 2560, 5632):
+        a = np.asarray(sync.aligned_window(x, jnp.int32(st), 768, 256))
+        b = np.asarray(sync.jax_dynamic_window(x, jnp.int32(st), 768))
+        assert np.array_equal(a, b), st
+    for st in (0, 1, 17, 255, 257, 4321, n - 1, n + 5):
+        a = np.asarray(sync.dynamic_window(x, jnp.int32(st), 640))
+        b = np.asarray(jax.lax.dynamic_slice_in_dim(x, jnp.int32(st), 640))
+        assert np.array_equal(a, b), st
+    # batched under vmap (the production shape)
+    xb = jnp.asarray(np.stack([np.asarray(x), 2 * np.asarray(x)]))
+    sts = jnp.asarray([513, 5632], dtype=jnp.int32)
+    a = np.asarray(jax.vmap(lambda c, t: sync.dynamic_window(c, t, 768))(xb, sts))
+    b = np.asarray(jax.vmap(
+        lambda c, t: jax.lax.dynamic_slice_in_dim(c, t, 768))(xb, sts))
+    assert np.array_equal(a, b)
+
+
+def test_matched_filter_toeplitz_matches_fft(spec128):
+    """The short-window Toeplitz-matmul correlation must bit-match the
+    FFT-correlation statistic the long path uses."""
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(3, 768)) + 1j * rng.normal(size=(3, 768)))
+    L = spec128.cfg.pr_sin_len
+    got = np.asarray(sync.matched_filter_scores(spec128, x))
+    corr = np.abs(np.asarray(sync._corr_fft(spec128, x, 1024)))[..., :768]
+    e = np.abs(np.asarray(x)) ** 2
+    ce = np.concatenate([np.zeros((3, 1)), np.cumsum(e, -1)], -1)
+    norm = np.pad(ce[:, L:] - ce[:, :768 + 1 - L], ((0, 0), (0, L - 1)))[:, :768]
+    ref = np.where(norm > 1.0, corr / np.sqrt(np.maximum(norm, 1e-30)), 0.0)
+    assert np.abs(got - ref).max() < 1e-12
