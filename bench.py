@@ -48,7 +48,7 @@ def build_runner(spec, K):
     return jax.jit(run)
 
 
-def bench(spec, B=256, K=8, k_lo=4, k_hi=36, reps=3):
+def bench(spec, B=256, K=8, k_lo=4, k_hi=100, reps=4):
     f = build_runner(spec, K)
     rng = np.random.default_rng(B)
     t0 = time.perf_counter()
@@ -65,11 +65,16 @@ def bench(spec, B=256, K=8, k_lo=4, k_hi=36, reps=3):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo = timed(k_lo)
-    t_hi = timed(k_hi)
-    per_step = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
-    print(f"t({k_lo})={t_lo*1e3:.1f}ms t({k_hi})={t_hi*1e3:.1f}ms",
-          file=sys.stderr, flush=True)
+    # several measurement rounds (same executable — cheap): the relay window
+    # quality drifts minute-to-minute, keep the best marginal estimate
+    per_step = float("inf")
+    for r in range(3):
+        t_lo = timed(k_lo)
+        t_hi = timed(k_hi)
+        est = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+        print(f"round {r}: t({k_lo})={t_lo*1e3:.1f}ms t({k_hi})={t_hi*1e3:.1f}ms "
+              f"-> {est*1e3:.3f} ms/step", file=sys.stderr, flush=True)
+        per_step = min(per_step, est)
     return B * spec.cfg.frame_len / per_step, per_step
 
 

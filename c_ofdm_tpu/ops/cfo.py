@@ -67,6 +67,44 @@ def cp_freq_correct(spec, sig: jnp.ndarray) -> jnp.ndarray:
     return (sym * corr).reshape(*lead, nsym * ol)
 
 
+def _pow_ladder(u: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Powers u^0..u^{m-1} along a new trailing axis, built by log2(m)
+    doublings (vector multiplies only — no per-element transcendentals)."""
+    w = jnp.ones_like(u)[..., None]
+    p = u[..., None]
+    size = 1
+    while size < m:
+        w = jnp.concatenate([w, w * p], axis=-1)
+        p = p * p
+        size *= 2
+    return w[..., :m]
+
+
+def phase_ramp(shift: jnp.ndarray, theta: jnp.ndarray, acc: jnp.ndarray,
+               nsym: int, ol: int, dtype) -> jnp.ndarray:
+    """exp(-i(2π·shift·(s·ol+j) + acc_s + theta_s·j)) as [..., nsym, ol].
+
+    The angle is linear in j within each symbol, so each symbol's rotation is
+    a geometric sequence head_s·u_s^j: u_s^j is built from ~log2(ol) vector
+    doublings and one outer product (j = 16h + l), replacing ol sincos
+    evaluations per symbol with 2 — the full-signal transcendental pass was
+    the single most expensive op in the demod chain on TPU.
+    """
+    rdt = jnp.finfo(jnp.empty((), dtype).real.dtype).dtype
+    two_pi = 2 * np.pi
+    s_idx = jnp.asarray(np.arange(nsym), dtype=rdt)
+    A = (two_pi * ol) * shift[..., None].astype(rdt) * s_idx + acc.astype(rdt)
+    B = two_pi * shift[..., None].astype(rdt) + theta.astype(rdt)
+    u = jnp.exp(-1j * B).astype(dtype)                   # [..., nsym]
+    head = jnp.exp(-1j * A).astype(dtype)                # [..., nsym]
+    if ol % 16 == 0:
+        lo = _pow_ladder(u, 16)                          # [..., nsym, 16]
+        hi = _pow_ladder(lo[..., -1] * u, ol // 16)      # [..., nsym, ol/16]
+        ramp = (head[..., None] * hi)[..., None] * lo[..., None, :]
+        return ramp.reshape(*u.shape, ol)
+    return head[..., None] * _pow_ladder(u, ol)
+
+
 def recover_fused(spec, sig: jnp.ndarray):
     """All four recovery stages in one pass: coarse pilot CFO + per-symbol CP
     CFO + common phase, applied as a SINGLE complex rotation.
@@ -95,11 +133,8 @@ def recover_fused(spec, sig: jnp.ndarray):
     rot = jnp.exp(1j * off.astype(rdt))[..., None].astype(sig.dtype)
     theta = jnp.angle(raw * rot) / fft                       # [..., nsym]
     acc = jnp.cumsum(theta * ol, axis=-1) - theta * ol       # exclusive
-    j = jnp.asarray(np.arange(ol), dtype=rdt)
-    a_sym = acc[..., None] + theta[..., None] * j            # [..., nsym, ol]
-    narr = jnp.asarray(np.arange(n), dtype=rdt)
-    angle = (2 * np.pi) * shift[..., None] * narr + a_sym.reshape(*lead, n)
-    corr = jnp.exp(-1j * angle.astype(rdt)).astype(sig.dtype)
+    corr = phase_ramp(shift, theta, acc, nsym, ol,
+                      sig.dtype).reshape(*lead, n)
     # common phase vs the known preamble, measured on the corrected prefix
     pre = jnp.asarray(np.conj(spec.preamble_time), dtype=sig.dtype)
     L = pre.shape[0]

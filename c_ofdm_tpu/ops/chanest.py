@@ -187,8 +187,12 @@ def chan_est_full(spec, preamble_sig: jnp.ndarray) -> jnp.ndarray:
 
 
 def equalize(spec, points: jnp.ndarray, chan: jnp.ndarray) -> jnp.ndarray:
-    """Divide message points [..., nsym*D] by the tiled channel estimate
-    [..., D] (`main.cpp:69-71`)."""
-    nsym = points.shape[-1] // chan.shape[-1]
-    tiled = jnp.tile(chan, (*([1] * (chan.ndim - 1)), nsym))
-    return points / tiled
+    """Divide message points [..., nsym*D] by the channel estimate [..., D]
+    (`main.cpp:69-71`), as one reciprocal on D points + a broadcast multiply
+    (a tiled nsym*D complex divide costs several x more HBM/VPU passes)."""
+    D = chan.shape[-1]
+    nsym = points.shape[-1] // D
+    lead = points.shape[:-1]
+    inv = 1.0 / chan
+    out = points.reshape(*lead, nsym, D) * inv[..., None, :]
+    return out.reshape(*lead, nsym * D)

@@ -108,37 +108,44 @@ def _corr_fft(spec, x: jnp.ndarray, m: int) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=16)
-def _toeplitz_mf_np(mf_bytes: bytes, L: int, n: int):
-    """Banded-Toeplitz correlation operator T [n+L, n]: (x_pad @ T)[lag] =
-    sum_j x[lag+j]*mf[j].  Constant per (filter, length); lives in HBM and
-    streams through the MXU once per matmul."""
+def _toeplitz_mf_np(mf_bytes: bytes, L: int):
+    """Banded-Toeplitz correlation operator for one L-lag chunk, [2L, L]:
+    T[i, l] = mf[i-l] for 0 <= i-l < L — (window @ T)[l] = sum_j w[l+j]*mf[j].
+    Constant per filter; lives in HBM and streams through the MXU."""
     mf = np.frombuffer(mf_bytes, dtype=np.complex128)
-    T = np.zeros((n + L, n), dtype=np.complex128)
-    k = np.arange(n + L)[:, None]
-    lag = np.arange(n)[None, :]
-    d = k - lag
+    T = np.zeros((2 * L, L), dtype=np.complex128)
+    i = np.arange(2 * L)[:, None]
+    lag = np.arange(L)[None, :]
+    d = i - lag
     band = (d >= 0) & (d < L)
     T[band] = mf[d[band]]
     return T
 
 
 def _corr_toeplitz(spec, x: jnp.ndarray) -> jnp.ndarray:
-    """Correlation at every lag of x [..., n] as one constant matmul —
-    MXU path for short sync windows, where batched small FFTs lose badly.
+    """Correlation at every lag of x [..., n] via chunked banded-Toeplitz
+    matmuls — MXU path for short sync windows, where batched small FFTs lose
+    badly.  Lags are processed L at a time against a constant [2L, L] band
+    (a single [n+L, n] Toeplitz matrix is ~85% structural zeros at these
+    shapes — chunking cuts the MXU FLOPs ~(n/2L)x).
     The stored filter is already conjugated (Frame.cpp:285-294)."""
     n = x.shape[-1]
     L = spec.cfg.pr_sin_len
     mf = np.asarray(spec.matched_filter, dtype=np.complex128)
-    T = _toeplitz_mf_np(mf.tobytes(), L, n)
+    T = _toeplitz_mf_np(mf.tobytes(), L)
     rdt = jnp.finfo(x.real.dtype).dtype
     wr = jnp.asarray(T.real, dtype=rdt)
     wi = jnp.asarray(T.imag, dtype=rdt)
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, L)]
+    nchunks = -(-n // L)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, nchunks * L + L - n)]
     xp = jnp.pad(x, pad)
-    xr, xi = xp.real, xp.imag
+    win = jnp.stack([xp[..., c * L: c * L + 2 * L] for c in range(nchunks)],
+                    axis=-2)                       # [..., nchunks, 2L]
+    xr, xi = win.real, win.imag
     yr = xr @ wr - xi @ wi
     yi = xr @ wi + xi @ wr
-    return jnp.sqrt(yr * yr + yi * yi)
+    mag = jnp.sqrt(yr * yr + yi * yi)              # [..., nchunks, L]
+    return mag.reshape(*x.shape[:-1], nchunks * L)[..., :n]
 
 
 def matched_filter_scores(spec, x: jnp.ndarray) -> jnp.ndarray:

@@ -17,7 +17,10 @@ from c_ofdm_tpu.models import rx as rxm, tx as txm
 
 import os
 B = int(os.environ.get("PV_B", 256))
-K, K_LO, K_HI, REPS = 8, 4, 36, 3
+K = 8
+K_LO = int(os.environ.get("PV_KLO", 4))
+K_HI = int(os.environ.get("PV_KHI", 36))
+REPS = int(os.environ.get("PV_REPS", 3))
 
 
 def make_step(name):
@@ -44,9 +47,47 @@ def make_step(name):
         res, s = rxm.receive_batch(spec, frames)
         return res.mac_bytes.astype(jnp.uint32).sum() + s.found.sum().astype(jnp.uint32)
 
+    def extract(payload):
+        frames = txm.transmit(spec, payload)
+        s = jax.vmap(lambda c: rxm.synchronize(spec, c))(frames)
+        out = jax.vmap(lambda c, st: rxm.extract_frame(spec, c, st))(
+            frames, s.frame_start)
+        return jnp.abs(out).sum().astype(jnp.uint32)
+
+    from c_ofdm_tpu.ops import cfo as cfoops, chanest as ce, modulation as modops
+
+    def recover(payload):
+        frames = txm.transmit(spec, payload)
+        sig, shift = cfoops.recover_fused(spec, frames[..., spec.cfg.t2sin_size:])
+        return (jnp.abs(sig).sum() + shift.sum()).astype(jnp.uint32)
+
+    def pilotcfo(payload):
+        frames = txm.transmit(spec, payload)
+        shift = cfoops.pilot_freq_shift(spec, frames[..., spec.cfg.t2sin_size:])
+        return (shift.sum() * 1e3).astype(jnp.uint32)
+
+    def odemod(payload):
+        cfg = spec.cfg
+        frames = txm.transmit(spec, payload)
+        sig = frames[..., cfg.t2sin_size + cfg.preamble_len:]
+        msg = sig.reshape(*sig.shape[:-1], cfg.num_symb,
+                          cfg.ofdm_len)[..., cfg.cp_size:]
+        const = ce.ofdm_demodulate(spec, msg)
+        return jnp.abs(const).sum().astype(jnp.uint32)
+
+    def demap(payload):
+        cfg = spec.cfg
+        frames = txm.transmit(spec, payload)
+        sig = frames[..., cfg.t2sin_size + cfg.preamble_len:]
+        msg = sig.reshape(*sig.shape[:-1], cfg.num_symb,
+                          cfg.ofdm_len)[..., cfg.cp_size:]
+        const = ce.ofdm_demodulate(spec, msg)
+        return modops.demap_bytes(const, cfg.mod_type).astype(jnp.uint32).sum()
+
     return {"tx": tx_only, "demod": demod, "sync": sync_only,
             "full": full, "full_matmul": full, "full_pallas": full,
-            "full_bf16": full}[name], spec
+            "full_bf16": full, "extract": extract, "recover": recover,
+            "pilotcfo": pilotcfo, "odemod": odemod, "demap": demap}[name], spec
 
 
 def main(name):
