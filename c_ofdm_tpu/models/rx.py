@@ -29,28 +29,42 @@ class RxResult(NamedTuple):
     cfo: jnp.ndarray             # [...] coarse CFO estimate (cycles/sample)
 
 
+def demod_sig(spec: FrameSpec, sig: jnp.ndarray,
+              estimator: str = "lq") -> RxResult:
+    """Demodulate the post-burst span [..., preamble_len + message_len]
+    (preamble at offset 0) whose exact start is known.
+
+    All preamble+message symbols go through ONE partial-DFT matmul
+    (bins_transform), then pilot equalization runs per group — bit-identical
+    to transforming the groups separately (the DFT is per-symbol), but a
+    single larger MXU dispatch.
+    """
+    cfg = spec.cfg
+    # fused recovery: algebraically identical to the sequential
+    # pilot_freq_shift -> apply_freq_shift -> cp_freq_correct ->
+    # common_phase_correct chain, in one rotation pass (ops/cfo.py)
+    sig, shift = cfo.recover_fused(spec, sig)
+    lead = sig.shape[:-1]
+    nsym_all = cfg.num_pr_symb + cfg.num_symb
+    syms = sig.reshape(*lead, nsym_all, cfg.ofdm_len)[..., cfg.cp_size:]
+    pil, data = chanest.bins_transform(spec, syms)
+    P = cfg.num_pr_symb
+    pre_pts = chanest.pilot_equalize(spec, pil[..., :P, :], data[..., :P, :])
+    const = chanest.pilot_equalize(spec, pil[..., P:, :], data[..., P:, :])
+    chan = (chanest.chan_est_lq if estimator == "lq" else chanest.chan_est_full)(
+        spec, pre_points=pre_pts)
+    const = chanest.equalize(spec, const, chan)
+    mac_bytes = modulation.demap_bytes(const, cfg.mod_type)
+    return RxResult(mac_bytes, const, chan, shift)
+
+
 def demod_frame(spec: FrameSpec, frame_sig: jnp.ndarray,
                 estimator: str = "lq") -> RxResult:
     """Demodulate frames whose exact start is known.
 
     frame_sig [..., frame_len] with the t2sin burst at offset 0.
     """
-    cfg = spec.cfg
-    sig = frame_sig[..., cfg.t2sin_size:]
-    # fused recovery: algebraically identical to the sequential
-    # pilot_freq_shift -> apply_freq_shift -> cp_freq_correct ->
-    # common_phase_correct chain, in one rotation pass (ops/cfo.py)
-    sig, shift = cfo.recover_fused(spec, sig)
-    pre = sig[..., : cfg.preamble_len]
-    chan = (chanest.chan_est_lq if estimator == "lq" else chanest.chan_est_full)(
-        spec, pre)
-    lead = sig.shape[:-1]
-    msg = sig[..., cfg.preamble_len:].reshape(
-        *lead, cfg.num_symb, cfg.ofdm_len)[..., cfg.cp_size:]
-    const = chanest.ofdm_demodulate(spec, msg)
-    const = chanest.equalize(spec, const, chan)
-    mac_bytes = modulation.demap_bytes(const, cfg.mod_type)
-    return RxResult(mac_bytes, const, chan, shift)
+    return demod_sig(spec, frame_sig[..., spec.cfg.t2sin_size:], estimator)
 
 
 class SyncResult(NamedTuple):
@@ -85,6 +99,16 @@ def extract_frame(spec: FrameSpec, capture: jnp.ndarray,
     return jax.lax.dynamic_slice_in_dim(capture, frame_start, spec.cfg.frame_len)
 
 
+def extract_sig(spec: FrameSpec, capture: jnp.ndarray,
+                frame_start: jnp.ndarray) -> jnp.ndarray:
+    """Gather the post-burst span [preamble_len + message_len] of the frame at
+    a traced position — demod never reads the t2sin burst, so skip it."""
+    cfg = spec.cfg
+    return jax.lax.dynamic_slice_in_dim(
+        capture, frame_start + cfg.t2sin_size,
+        cfg.preamble_len + cfg.message_len)
+
+
 def receive_capture(spec: FrameSpec, capture: jnp.ndarray,
                     estimator: str = "lq"):
     """Full single-frame RX on one capture [n]: sync + demod.
@@ -93,8 +117,8 @@ def receive_capture(spec: FrameSpec, capture: jnp.ndarray,
     sync.found is False (mask downstream) — shapes stay static.
     """
     s = synchronize(spec, capture)
-    frame = extract_frame(spec, capture, s.frame_start)
-    return demod_frame(spec, frame, estimator), s
+    sig = extract_sig(spec, capture, s.frame_start)
+    return demod_sig(spec, sig, estimator), s
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -116,9 +140,9 @@ def receive_batch(spec: FrameSpec, captures: jnp.ndarray,
     frame gather and the whole demod chain run batch-native (larger fused
     kernels / matmuls than vmapping the full per-capture pipeline)."""
     s = jax.vmap(lambda c: synchronize(spec, c))(captures)
-    frames = jax.vmap(lambda c, st: extract_frame(spec, c, st))(
+    sigs = jax.vmap(lambda c, st: extract_sig(spec, c, st))(
         captures, s.frame_start)
-    return demod_frame(spec, frames, estimator), s
+    return demod_sig(spec, sigs, estimator), s
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))

@@ -125,9 +125,8 @@ def process_buffer(spec: FrameSpec, state: StreamState, block: jnp.ndarray,
     starts = jnp.where(valid, positions - cfg.t2sin_size, 0).astype(jnp.int32)
     starts = jnp.clip(starts, 0, n - cfg.frame_len)
 
-    frames = jax.vmap(
-        lambda s: jax.lax.dynamic_slice_in_dim(ring, s, cfg.frame_len))(starts)
-    res = rxm.demod_frame(spec, frames)
+    sigs = jax.vmap(lambda s: rxm.extract_sig(spec, ring, s))(starts)
+    res = rxm.demod_sig(spec, sigs)
     diag = res.constellation.real + res.constellation.imag
 
     num_found = valid.sum().astype(jnp.int32)

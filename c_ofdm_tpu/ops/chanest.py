@@ -31,12 +31,9 @@ def _rx_partial_basis_np(fft_size: int, pilot_bins: tuple, data_bins: tuple):
     return fftops.dft_rows(fft_size, rows, sign=-1).T.copy()
 
 
-def ofdm_demodulate(spec, time_syms: jnp.ndarray) -> jnp.ndarray:
-    """CP-stripped time symbols [..., nsym, fft] -> equalized segment-order
-    points [..., nsym*num_data_subc].
-
-    Pilot amplitude normalization (mean |pilot| over ALL symbols of the call)
-    + per-segment division by (pilot / same pilot in symbol 0).
+def bins_transform(spec, time_syms: jnp.ndarray):
+    """CP-stripped time symbols [..., nsym, fft] -> raw (pilot, data) bins
+    ([..., nsym, P], [..., nsym, D]).
 
     On the matmul backends the transform is a *partial* DFT over only the
     pilot+data bins (the other bins are guard/DC nulls nobody reads) — exact
@@ -49,12 +46,18 @@ def ofdm_demodulate(spec, time_syms: jnp.ndarray) -> jnp.ndarray:
         w = _rx_partial_basis_np(cfg.fft_size, tuple(spec.pilot_bins),
                                  tuple(spec.data_bins))
         y = fftops.complex_matmul(time_syms, w, bf16=backend.endswith("bf16"))
-        pil = y[..., :P]                                      # [..., nsym, P]
-        data = y[..., P:]                                     # [..., nsym, D]
-    else:
-        freq = fftops.fft_fwd(time_syms, backend)
-        pil = freq[..., jnp.asarray(spec.pilot_bins)]
-        data = freq[..., jnp.asarray(spec.data_bins)]
+        return y[..., :P], y[..., P:]
+    freq = fftops.fft_fwd(time_syms, backend)
+    return (freq[..., jnp.asarray(spec.pilot_bins)],
+            freq[..., jnp.asarray(spec.data_bins)])
+
+
+def pilot_equalize(spec, pil: jnp.ndarray, data: jnp.ndarray) -> jnp.ndarray:
+    """Pilot normalization + per-segment equalization of raw bins
+    (`OFDM/Frame.cpp:73-96`): divide by mean |pilot| over ALL symbols of the
+    group, then divide each segment by (its pilot / same pilot in symbol 0).
+    """
+    cfg = spec.cfg
     phys = jnp.abs(pil).mean(axis=(-1, -2)) / cfg.pilot_ampl  # [...]
     data = data / phys[..., None, None].astype(data.dtype)
     pil = pil / phys[..., None, None].astype(pil.dtype)
@@ -64,6 +67,13 @@ def ofdm_demodulate(spec, time_syms: jnp.ndarray) -> jnp.ndarray:
     data = data.reshape(*lead, nsym, cfg.num_pilot_subc, cfg.segment_size)
     data = data / coef[..., None]
     return data.reshape(*lead, nsym * cfg.num_data_subc)
+
+
+def ofdm_demodulate(spec, time_syms: jnp.ndarray) -> jnp.ndarray:
+    """CP-stripped time symbols [..., nsym, fft] -> equalized segment-order
+    points [..., nsym*num_data_subc] (transform + pilot equalization)."""
+    pil, data = bins_transform(spec, time_syms)
+    return pilot_equalize(spec, pil, data)
 
 
 def _tx_bin_maps(spec):
@@ -147,16 +157,26 @@ def unwrap_fast(phase: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([phase[..., :1], phase[..., 1:] - corr], axis=-1)
 
 
-def chan_est_lq(spec, preamble_sig: jnp.ndarray,
-                exact_unwrap: bool = False) -> jnp.ndarray:
-    """Linear-phase LS estimate over the lower half-band, mirrored to the upper
-    half (`OFDM/Frame.hpp:389-434`).  Reproduces the reference's exact fit
-    formula (sums where a standard LS uses means).
-    preamble_sig [..., preamble_len] -> chan [..., num_data_subc]."""
+def preamble_demod(spec, preamble_sig: jnp.ndarray) -> jnp.ndarray:
+    """Demodulate the preamble span [..., preamble_len] into segment-order
+    points [..., num_pr_symb*num_data_subc]."""
     cfg = spec.cfg
     lead = preamble_sig.shape[:-1]
     syms = preamble_sig.reshape(*lead, cfg.num_pr_symb, cfg.ofdm_len)[..., cfg.cp_size:]
-    pr = ofdm_demodulate(spec, syms)
+    return ofdm_demodulate(spec, syms)
+
+
+def chan_est_lq(spec, preamble_sig: jnp.ndarray = None,
+                exact_unwrap: bool = False,
+                pre_points: jnp.ndarray = None) -> jnp.ndarray:
+    """Linear-phase LS estimate over the lower half-band, mirrored to the upper
+    half (`OFDM/Frame.hpp:389-434`).  Reproduces the reference's exact fit
+    formula (sums where a standard LS uses means).
+    preamble_sig [..., preamble_len] -> chan [..., num_data_subc]; callers may
+    instead pass already-demodulated ``pre_points`` (shared-transform path)."""
+    cfg = spec.cfg
+    pr = pre_points if pre_points is not None else preamble_demod(
+        spec, preamble_sig)
     mod_pre = jnp.asarray(spec.preamble_points, dtype=pr.dtype)
     half = cfg.num_data_subc // 2
     unwrap = unwrap_one_step if exact_unwrap else unwrap_fast
@@ -172,15 +192,16 @@ def chan_est_lq(spec, preamble_sig: jnp.ndarray,
     karr = jnp.asarray(np.where(k < half, k, k - n) +
                        (0 if n == 2 * half else n - 2 * half), dtype=phase.dtype)
     ang = b[..., None] * karr + a[..., None]
-    return jnp.exp(1j * ang.astype(phase.dtype)).astype(preamble_sig.dtype)
+    return jnp.exp(1j * ang.astype(phase.dtype)).astype(pr.dtype)
 
 
-def chan_est_full(spec, preamble_sig: jnp.ndarray) -> jnp.ndarray:
+def chan_est_full(spec, preamble_sig: jnp.ndarray = None,
+                  pre_points: jnp.ndarray = None) -> jnp.ndarray:
     """Mean per-subcarrier complex ratio (`OFDM/Frame.hpp:375-385`)."""
     cfg = spec.cfg
-    lead = preamble_sig.shape[:-1]
-    syms = preamble_sig.reshape(*lead, cfg.num_pr_symb, cfg.ofdm_len)[..., cfg.cp_size:]
-    pr = ofdm_demodulate(spec, syms)
+    pr = pre_points if pre_points is not None else preamble_demod(
+        spec, preamble_sig)
+    lead = pr.shape[:-1]
     mod_pre = jnp.asarray(spec.preamble_points, dtype=pr.dtype)
     ratio = (pr / mod_pre).reshape(*lead, cfg.num_pr_symb, cfg.num_data_subc)
     return ratio.mean(axis=-2)

@@ -1,0 +1,136 @@
+"""Pallas TPU kernel: batched frame-window extraction at traced offsets.
+
+The RX chain's only irregular memory op: gather one contiguous window
+[win] per capture row at a data-dependent start (the synchronizer's frame
+position).  XLA lowers a vmapped ``dynamic_slice`` to a generic gather; this
+kernel instead does a VMEM-local dynamic slice per grid row — each window
+copy is a contiguous lane-shifted move, no gather engine involved.
+
+Complex data is carried as separate real/imag float32 planes (Pallas TPU has
+no native complex dtype); on TPU, XLA itself stores complex64 arrays as
+separate planes, so the ``.real``/``.imag`` splits fuse away.
+
+Reference counterpart: the frame-window memcpy out of the RX ring
+(`rx.cpp:192-198`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_ROWS = 8  # sublane tile: f32 min tile is (8, 128)
+
+
+def _extract_kernel(st_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, win: int):
+    base = pl.program_id(0) * _ROWS
+    for r in range(_ROWS):      # static unroll over the sublane tile
+        s = st_ref[base + r]
+        # Mosaic only lowers lane-aligned dynamic slices: take a 128-aligned
+        # window one lane-group wider, then rotate out the sub-128 remainder
+        q = pl.multiple_of((s // 128) * 128, 128)
+        rem = s - q
+        # rotate right by (width - rem) == rotate left by rem (roll requires
+        # a non-negative shift)
+        shift = (win + 128) - rem
+        for ref, out in ((xr_ref, yr_ref), (xi_ref, yi_ref)):
+            chunk = ref[r: r + 1, pl.ds(q, win + 128)]
+            out[r: r + 1, :] = pltpu.roll(chunk, shift, axis=1)[:, :win]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _extract_call(xr, xi, starts, win: int, interpret: bool):
+    B, n = xr.shape
+    pad = (-B) % _ROWS
+    # +128 lanes so the aligned widened window never runs off the row
+    zrow = [(0, pad), (0, 128)]
+    xr, xi = jnp.pad(xr, zrow), jnp.pad(xi, zrow)
+    if pad:
+        starts = jnp.pad(starts, (0, pad))
+    n = n + 128
+    nb = (B + pad) // _ROWS
+    kern = functools.partial(_extract_kernel, win=win)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_ROWS, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_ROWS, win), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, win), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B + pad, win), jnp.float32),
+                   jax.ShapeDtypeStruct((B + pad, win), jnp.float32)],
+        interpret=interpret,
+    )(starts.astype(jnp.int32), xr, xi)
+    return out[0][:B], out[1][:B]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def extract_windows(captures: jnp.ndarray, starts: jnp.ndarray,
+                    win: int) -> jnp.ndarray:
+    """captures [B, n] complex64, starts [B] int32 (pre-clamped to
+    [0, n-win]) -> windows [B, win] complex64."""
+    xr = captures.real.astype(jnp.float32)
+    xi = captures.imag.astype(jnp.float32)
+    yr, yi = _extract_call(xr, xi, starts, win, not _on_tpu())
+    return (yr + 1j * yi).astype(jnp.complex64)
+
+
+if __name__ == "__main__":
+    # same-process A/B vs the XLA vmapped-dynamic_slice gather (immune to
+    # relay-window drift): python -m c_ofdm_tpu.ops.pallas_extract
+    import time
+
+    B, n, win, K = 256, 6016, 5760, 8
+    rng = np.random.default_rng(0)
+    pools = [jnp.asarray((rng.standard_normal((K, B, n))
+                          + 1j * rng.standard_normal((K, B, n))
+                          ).astype(np.complex64)) for _ in range(3)]
+    starts = jnp.asarray(rng.integers(0, n - win, (K, B)), dtype=jnp.int32)
+
+    def xla_extract(c, s):
+        return jax.vmap(lambda cc, ss: jax.lax.dynamic_slice_in_dim(
+            cc, ss, win))(c, s)
+
+    def run_factory(fn):
+        def run(pool, k):
+            def body(i, acc):
+                return acc + jnp.abs(fn(pool[i % K], starts[i % K])).sum()
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+        return jax.jit(run)
+
+    fns = {"xla_gather": run_factory(xla_extract),
+           "pallas": run_factory(lambda c, s: extract_windows(c, s, win))}
+    for name, f in fns.items():
+        t0 = time.perf_counter()
+        float(f(pools[0], 1))
+        print(f"{name}: compile {time.perf_counter()-t0:.0f}s", flush=True)
+    for name, f in fns.items():
+        def timed(k):
+            best = float("inf")
+            for p in pools:
+                t0 = time.perf_counter()
+                float(f(p, k))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        t_lo, t_hi = timed(4), timed(100)
+        per = (t_hi - t_lo) / 96
+        gbs = B * win * 8 * 2 / per / 1e9
+        print(f"{name}: {per*1e3:.3f} ms/step ({gbs:.0f} GB/s eff r+w)",
+              flush=True)

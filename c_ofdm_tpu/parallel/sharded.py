@@ -43,9 +43,8 @@ def _local_receive(spec: FrameSpec, block: jnp.ndarray, halo: jnp.ndarray,
                             jnp.logical_and(starts >= 0, starts < block_len))
     gather = jnp.clip(jnp.where(valid, starts, 0), 0,
                       ext.shape[-1] - cfg.frame_len)
-    frames = jax.vmap(
-        lambda s: jax.lax.dynamic_slice_in_dim(ext, s, cfg.frame_len))(gather)
-    res = rxm.demod_frame(spec, frames)
+    sigs = jax.vmap(lambda s: rxm.extract_sig(spec, ext, s))(gather)
+    res = rxm.demod_sig(spec, sigs)
     diag = res.constellation.real + res.constellation.imag
     return streaming.StreamOut(res.mac_bytes, diag, positions, valid,
                                valid.sum().astype(jnp.int32), res.cfo)
