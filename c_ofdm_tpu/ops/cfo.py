@@ -14,24 +14,46 @@ import jax.numpy as jnp
 from . import fft as fftops
 
 
+def _cfo_window_segments(spec):
+    """[(lo, hi)) fftshifted-spectrum ranges actually searched for peaks."""
+    borders = spec.cfo_borders
+    return [(int(borders[i]), int(borders[i + 1]))
+            for i in range(spec.cfg.num_pilot_subc + 1)
+            if spec.cfo_window_mask[i]]
+
+
 def pilot_freq_shift(spec, preamble_sig: jnp.ndarray) -> jnp.ndarray:
     """Coarse CFO from pilot peaks of the fftshifted preamble spectrum
-    (`OFDM/Frame.hpp:285-337`).  preamble_sig [..., preamble_len] -> [...]."""
+    (`OFDM/Frame.hpp:285-337`).  preamble_sig [..., preamble_len] -> [...].
+
+    Production backends project onto ONLY the bins the peak-search windows
+    inspect (~half the spectrum) with a partial-DFT matmul: preamble_len is
+    never a power of two (ofdm_len = fft + cp), and XLA's mixed-radix TPU FFT
+    at e.g. 640 points dominated the whole demod chain (~0.7 ms of a 0.99 ms
+    step at B=256; earlier profiles hid it because a TX-fed constant preamble
+    let XLA fold the FFT away).  The xla backend keeps the exact reference
+    recipe for f64 golden parity.
+    """
     size = spec.cfg.preamble_len
-    # measured on-TPU (B=256): this lone 640-pt FFT is faster via XLA than
-    # matmul-DFT (demod step 0.179 vs 0.223 ms) — too skinny for the MXU
-    amp = jnp.abs(jnp.fft.fftshift(
-        fftops.fft_fwd(preamble_sig[..., :size]), axes=-1))
-    borders = spec.cfo_borders
-    total = None
-    used = 0
-    for i in range(spec.cfg.num_pilot_subc + 1):
-        if not spec.cfo_window_mask[i]:
-            continue
-        lo, hi = int(borders[i]), int(borders[i + 1])
-        peak = lo + jnp.argmax(amp[..., lo:hi], axis=-1)
-        total = peak if total is None else total + peak
-        used += 1
+    segs = _cfo_window_segments(spec)
+    if spec.fft_backend != "xla":
+        # fftshifted index j reads unshifted DFT bin (j + ceil(size/2)) % size
+        shifted = np.concatenate([np.arange(lo, hi) for lo, hi in segs])
+        rows = (shifted + (size + 1) // 2) % size
+        amp = jnp.abs(fftops.partial_dft(preamble_sig[..., :size], rows))
+        total = None
+        off = 0
+        for lo, hi in segs:
+            peak = lo + jnp.argmax(amp[..., off:off + (hi - lo)], axis=-1)
+            off += hi - lo
+            total = peak if total is None else total + peak
+    else:
+        amp = jnp.abs(jnp.fft.fftshift(
+            fftops.fft_fwd(preamble_sig[..., :size]), axes=-1))
+        total = None
+        for lo, hi in segs:
+            peak = lo + jnp.argmax(amp[..., lo:hi], axis=-1)
+            total = peak if total is None else total + peak
     # reference divides by num_pilot_subc (== number of used windows)
     shift = total.astype(amp.dtype) / spec.cfg.num_pilot_subc
     return (shift - size / 2) / size
