@@ -22,7 +22,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default="", help="reference-format config file")
     p.add_argument("--replay", default="", help="replay capture .bin (f64 IQ)")
-    p.add_argument("--payload", default="/root/reference/WARANDPEACE.txt")
+    p.add_argument("--payload", default="",
+                   help="payload file (default: built-in deterministic text)")
     p.add_argument("--dump", default="", help="artifact output dir")
     p.add_argument("--snr-db", type=float, default=25.0)
     p.add_argument("--cfo", type=float, default=2e-4)
@@ -50,8 +51,13 @@ def main(argv=None):
     spec = make_frame_spec(cfg, dtype=dtype)
     mac = Mac(frame_bytes=cfg.frame_bytes, spread=cfg.mod_type)
 
-    with open(args.payload, "rb") as f:
-        origin = np.frombuffer(f.read(mac.payload), dtype=np.uint8)
+    if args.payload:
+        with open(args.payload, "rb") as f:
+            origin = np.frombuffer(f.read(mac.payload), dtype=np.uint8)
+    else:
+        text = (b"Well, Prince, so Genoa and Lucca are now just family "
+                b"estates of the Buonapartes. ") * 64
+        origin = np.frombuffer(text[:mac.payload], dtype=np.uint8)
     origin = np.pad(origin, (0, mac.payload - origin.size))
 
     wire = mac.write(jnp.asarray(origin), jnp.uint32(0))

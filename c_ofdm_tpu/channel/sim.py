@@ -52,13 +52,13 @@ def apply_channel(params: ChannelParams, key: jax.Array,
                 (jnp.arange(x.shape[-1]) >= d)
         x = y
 
-    # CFO + random initial phase
-    if params.cfo or True:
-        n = jnp.arange(x.shape[-1], dtype=rdtype)
-        phi0 = jax.random.uniform(k_phase, x.shape[:-1], dtype=rdtype,
-                                  minval=0.0, maxval=2 * np.pi)
-        ang = 2 * np.pi * params.cfo * n + phi0[..., None]
-        x = x * jnp.exp(1j * ang).astype(dtype)
+    # CFO + random initial phase (the phase is always random — a real LO
+    # never starts at zero phase, CFO or not)
+    n = jnp.arange(x.shape[-1], dtype=rdtype)
+    phi0 = jax.random.uniform(k_phase, x.shape[:-1], dtype=rdtype,
+                              minval=0.0, maxval=2 * np.pi)
+    ang = 2 * np.pi * params.cfo * n + phi0[..., None]
+    x = x * jnp.exp(1j * ang).astype(dtype)
 
     x = x * jnp.asarray(params.amplitude, dtype=dtype)
 

@@ -28,9 +28,16 @@ from .mesh import CHANNEL_AXIS, TIME_AXIS
 
 
 def _local_receive(spec: FrameSpec, block: jnp.ndarray, halo: jnp.ndarray,
-                   max_frames: int):
+                   halo_valid: jnp.ndarray, max_frames: int):
     """Decode frames starting inside ``block`` [block_len], using ``halo``
-    [frame_len] (the right neighbor's head) to complete boundary frames."""
+    [frame_len] (the right neighbor's head) to complete boundary frames.
+
+    ``halo_valid`` is False on the last time shard, whose halo is zeros (there
+    is no right neighbor): frames must then fit entirely inside the block —
+    the same "window runs past the buffer end -> not decodable" rule the
+    single-device path applies at the capture tail
+    (streaming.extract_hits ``last_ok``), so a frame cut off by the global
+    capture boundary is dropped instead of demodulating garbage."""
     cfg = spec.cfg
     block_len = block.shape[-1]
     ext = jnp.concatenate([block, halo], axis=-1)
@@ -41,6 +48,9 @@ def _local_receive(spec: FrameSpec, block: jnp.ndarray, halo: jnp.ndarray,
     # ownership: the frame's first sample lies in this device's block
     valid = jnp.logical_and(valid,
                             jnp.logical_and(starts >= 0, starts < block_len))
+    # capture tail: without a real halo the frame must fit inside the block
+    fits = starts + cfg.frame_len <= block_len
+    valid = jnp.logical_and(valid, jnp.logical_or(halo_valid, fits))
     gather = jnp.clip(jnp.where(valid, starts, 0), 0,
                       ext.shape[-1] - cfg.frame_len)
     sigs = jax.vmap(lambda s: rxm.extract_sig(spec, ext, s))(gather)
@@ -67,12 +77,14 @@ def make_sharded_receiver(spec: FrameSpec, mesh, max_frames_per_block: int):
                 heads, TIME_AXIS,
                 perm=[(i, (i - 1) % n_time) for i in range(n_time)])
             # the last device wraps to the first channel-row block, which is
-            # wrong data — but its frames there fail ownership or decode to
-            # invalid; zero it for cleanliness
+            # wrong data: zero it and mark it invalid, so the tail shard
+            # applies the capture-end "frame must fit" rule (see
+            # _local_receive)
             t = jax.lax.axis_index(TIME_AXIS)
-            halo = jnp.where(t == n_time - 1, jnp.zeros_like(halo), halo)
+            halo_valid = t < n_time - 1
+            halo = jnp.where(halo_valid, halo, jnp.zeros_like(halo))
             out = jax.vmap(lambda b, h: _local_receive(
-                spec, b, h, max_frames_per_block))(local, halo)
+                spec, b, h, halo_valid, max_frames_per_block))(local, halo)
             # add the n_time axis back for the global view
             return jax.tree.map(lambda x: x[:, None], out)
 

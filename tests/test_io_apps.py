@@ -81,7 +81,8 @@ def test_loopback_app_replay_golden(tmp_path):
          "import jax; jax.config.update('jax_platforms','cpu');"
          "jax.config.update('jax_enable_x64', True);"
          "from c_ofdm_tpu.apps.loopback import main; import sys;"
-         "sys.exit(main(['--replay', '/root/reference/data/data.bin', '--f64']))"],
+         "sys.exit(main(['--replay', '/root/reference/data/data.bin', '--f64',"
+         " '--payload', '/root/reference/WARANDPEACE.txt']))"],
         capture_output=True, text=True, cwd="/root/repo", timeout=300)
     # payload differs from the head of WARANDPEACE only via MAC framing; the
     # app reports header fields + EVM; accuracy vs file is 1.0 because the

@@ -79,6 +79,49 @@ def test_sharded_exactly_once_boundary_frames(spec64, cfg, mesh8):
     assert sorted(seqs) == list(range(len(starts))) and all(oks)
 
 
+def test_sharded_capture_tail_semantics(spec64, cfg, mesh8):
+    """Global capture-end edge: a frame ending exactly at the capture end
+    decodes; a frame cut off by the capture end is dropped (not demodulated
+    into CRC garbage) — matching the single-device extract_hits rule."""
+    n_time = 4
+    block_len = 4 * cfg.frame_len
+    total = n_time * block_len
+    # ch0: frame 0 mid-capture, frame 1 ends exactly at the capture end
+    starts_full = [8000, total - cfg.frame_len]
+    sig_a, pl_a, mac = _build_capture(spec64, cfg, 2, total, starts_full,
+                                      seed=5)
+    # ch1: frame 0 mid-capture, frame 1 cut off by the capture end
+    start_cut = total - cfg.frame_len + 2048   # 2048 samples run past the end
+    sig_b, pl_b, _ = _build_capture(
+        spec64, cfg, 2, total + cfg.frame_len, [8000, start_cut], seed=6)
+    sig_b = sig_b[:total]                      # hard capture boundary
+    captures = np.stack([sig_a, sig_b])
+    recv = make_sharded_receiver(spec64, mesh8, max_frames_per_block=4)
+    out = recv(jnp.asarray(captures))
+    valid = np.asarray(out.valid)
+    gpos = np.asarray(global_positions(spec64, out, block_len))
+
+    # ch0: both frames decode, incl. the exact-tail one
+    got_a = np.sort(gpos[0][valid[0]]) - cfg.t2sin_size
+    assert got_a.size == 2, (got_a, starts_full)
+    assert np.abs(got_a - np.asarray(starts_full)).max() <= 1
+    diag = np.asarray(out.diag)
+    seqs = []
+    for t in range(n_time):
+        for k in np.nonzero(valid[0, t])[0]:
+            fr = mac.read_soft(jnp.asarray(diag[0, t, k]))
+            assert bool(np.asarray(fr.valid))
+            seqs.append(int(np.asarray(fr.seq)))
+            assert np.array_equal(np.asarray(fr.payload),
+                                  pl_a[int(np.asarray(fr.seq))])
+    assert sorted(seqs) == [0, 1]
+
+    # ch1: the cut frame is dropped (no garbage decode), the mid one survives
+    got_b = np.sort(gpos[1][valid[1]]) - cfg.t2sin_size
+    assert got_b.size == 1, (got_b, start_cut)
+    assert abs(int(got_b[0]) - 8000) <= 1
+
+
 def test_sharded_channel_axis_independent(spec64, cfg, mesh8):
     """Different payload sets per channel decode independently."""
     block_len = 2 * cfg.frame_len
