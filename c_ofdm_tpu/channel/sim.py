@@ -8,6 +8,8 @@ batch-first form:
 * carrier frequency offset (cycles/sample) + random initial phase,
 * integer timing offset (frame placed at an arbitrary position in a longer
   capture window, embedded in noise),
+* sample-clock offset (fractional resampling — TX and RX converter clocks
+  drift by ~ppm on a real AD9361 link),
 * multipath: static FIR with complex taps,
 * amplitude scale + int16 quantization (models the SDR's fixed-point path).
 
@@ -33,6 +35,7 @@ class ChannelParams:
     multipath: tuple = ()        # complex FIR taps after the direct tap, e.g. (0.2+0.1j,)
     amplitude: float = 1.0       # channel gain
     quantize_mult: int = 0       # if >0: int16 round-trip at this scale (e.g. 200)
+    sco_ppm: float = 0.0         # RX sample-clock offset vs TX, parts/million
 
 
 def apply_channel(params: ChannelParams, key: jax.Array,
@@ -69,6 +72,19 @@ def apply_channel(params: ChannelParams, key: jax.Array,
     pad_back = max(0, total - n_in - pad_front)
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_front, pad_back)])
     x = x[..., :total]
+
+    # sample-clock offset: the RX converter samples the continuous waveform
+    # at (1 + ppm*1e-6) x the TX rate — cubic-free linear interpolation is
+    # plenty at ppm-scale fractional delays (worst-case interp error ~ -60 dB
+    # for delta <= 0.5 sample at this oversampling).  Interp indices are
+    # numpy constants (params is static), so XLA sees static gathers.
+    if params.sco_ppm:
+        total_now = x.shape[-1]
+        t = np.arange(total_now) * (1.0 + params.sco_ppm * 1e-6)
+        i0 = np.minimum(t.astype(np.int64), total_now - 2)
+        frac = (t - i0).astype(np.float64)
+        w = jnp.asarray(frac, dtype=rdtype)
+        x = x[..., i0] * (1 - w) + x[..., i0 + 1] * w
 
     # AWGN at SNR relative to the *frame* signal power
     sig_pow = (jnp.abs(frames) ** 2).mean() * params.amplitude ** 2

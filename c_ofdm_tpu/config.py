@@ -45,6 +45,17 @@ class ModemConfig:
     mod_type: int = 4            # bits/symbol: 1=BPSK 2=QAM4 4=QAM16 6=QAM64 8=QAM256
     pilot_ampl: float = 2.5      # TX pilot amplitude (x1000 in file)
 
+    # --- RX robustness (new vs reference) ---
+    cfo_outlier_bins: int = 6    # coarse-CFO per-window outlier rejection
+    #                              tolerance (spectrum bins); 0 = exact
+    #                              reference mean-of-argmax semantics
+    t2_gate_level: float = 0.4   # streaming sync gate: relaxed detect-ratio
+    #                              threshold for the overlapping-window t2
+    #                              track that gates the matched filter (the
+    #                              confirm threshold stays pr_level); must sit
+    #                              below t2_sin_level to cover window-burst
+    #                              misalignment (worst case ~3/4 overlap)
+
     # --- radio / staging (kept for config-file compatibility; no radio on TPU) ---
     bw_hz: int = 10_000_000
     fs_hz: int = 5_000_000

@@ -101,14 +101,88 @@ def extract_hits(spec: FrameSpec, score: jnp.ndarray, min_pos: jnp.ndarray,
     return positions, valid
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
+               max_frames: int):
+    """Two-tone-gated sync: the reference's cheap-detect-then-correlate order
+    (`rx.cpp:133,158`), reshaped for the TPU.
+
+    1. overlapping-window t2 energy-ratio track over the whole ring (skinny
+       partial-DFT matmul — ~22 bins per 128-sample hop);
+    2. rising edges of the gate become frame candidates (first window of each
+       hot run), compacted with a searchsorted over the edge-rank cumsum;
+    3. each candidate gathers a ~900-sample search region (gather-free
+       one-hot block contraction) and runs the banded-Toeplitz MXU matched
+       filter over G=768 lags — the burst start lies within +-256 samples of
+       the first hot window, so the preamble lag lies in [w-128, w+640);
+    4. a 41-step scalar scan enforces the reference advance rule (next frame
+       at least message_len past the previous, `rx.cpp:198`) and a second
+       searchsorted compacts confirmed hits into the output slots.
+
+    vs the dense path (`extract_hits`): ~50x less matched-filter work
+    (41 x 768 lags instead of all 252k) and no serial full-ring argmax loop.
+    Detection semantics match the reference MORE closely than the dense path:
+    a frame whose burst the detector misses is skipped (as the reference
+    would), instead of being rescued by its preamble correlation alone.
+
+    Returns (positions [max_frames], valid [max_frames]), positions carrying
+    the reference's +1 quirk — the same contract as ``extract_hits``.
+    """
+    cfg = spec.cfg
+    n = ring.shape[-1]
+    hop = cfg.t2sin_size // 2
+    L = cfg.pr_sin_len
+    G = 768                      # searched lags per candidate (see docstring)
+    K = max_frames + 4           # candidate slack for spurious gate edges
+
+    track = sync.t2_ratio_track_hop(spec, ring)            # [nwin]
+    hot = track > cfg.t2_gate_level
+    prev = jnp.concatenate([jnp.zeros((1,), bool), hot[:-1]])
+    edges = jnp.logical_and(hot, jnp.logical_not(prev))
+    rank = jnp.cumsum(edges.astype(jnp.int32))
+    cand_w = jnp.searchsorted(rank, jnp.arange(1, K + 1, dtype=jnp.int32))
+    cand_valid = cand_w < rank.shape[0]
+    cand_w = jnp.where(cand_valid, cand_w, 0)
+    start = jnp.maximum(cand_w * hop - hop, 0)             # 128-aligned
+
+    regions = jax.vmap(lambda s: sync.aligned_window(
+        ring, s, G + L, hop))(start)                       # [K, G+L]
+    scores = sync.matched_filter_scores(spec, regions)[..., :G]
+
+    lags = start[:, None] + jnp.arange(G, dtype=jnp.int32)
+    last_ok = n - cfg.frame_len + cfg.t2sin_size - 1
+    ok_lag = jnp.logical_and(lags >= jnp.maximum(min_pos, 0),
+                             lags <= last_ok)
+    scores = jnp.where(jnp.logical_and(ok_lag, cand_valid[:, None]),
+                       scores, 0.0)
+    rel, found = sync.first_above(scores, cfg.pr_level)
+    pr = jnp.where(found, start + rel + 1, -1).astype(jnp.int32)  # +1 quirk
+
+    # reference advance rule over the (position-ordered) candidates
+    def dedup(cursor, x):
+        p, f = x
+        ok = jnp.logical_and(f, p >= cursor)
+        return jnp.where(ok, p + cfg.message_len, cursor), ok
+    _, accept = jax.lax.scan(dedup, jnp.asarray(0, jnp.int32), (pr, found))
+
+    arank = jnp.cumsum(accept.astype(jnp.int32))
+    slot = jnp.searchsorted(arank, jnp.arange(1, max_frames + 1,
+                                              dtype=jnp.int32))
+    svalid = slot < K
+    slot = jnp.where(svalid, slot, 0)
+    positions = jnp.where(svalid, pr[slot], -1).astype(jnp.int32)
+    return positions, svalid
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def process_buffer(spec: FrameSpec, state: StreamState, block: jnp.ndarray,
-                   max_frames: int = 0):
+                   max_frames: int = 0, sync_mode: str = "gated"):
     """Consume one ingest buffer [rx_buf_size * frame_len] of IQ; return
     (new_state, StreamOut) with up to ``max_frames`` decoded frames.
 
     The ring is [carry | block] (`rx.cpp:73-91` double-buffer update with the
-    one-frame carry in front).
+    one-frame carry in front).  ``sync_mode`` "gated" (default, production)
+    gates the matched filter on the two-tone track like the reference;
+    "dense" correlates every ring lag (detector-independent fallback).
     """
     cfg = spec.cfg
     max_frames = max_frames or (cfg.rx_buf_size + 1)
@@ -118,8 +192,13 @@ def process_buffer(spec: FrameSpec, state: StreamState, block: jnp.ndarray,
     ring = jnp.concatenate([carry, block])
     n = ring.shape[-1]
 
-    score = dense_preamble_corr(spec, ring)
-    positions, valid = extract_hits(spec, score, state.next_min_pos, max_frames)
+    if sync_mode == "gated":
+        positions, valid = gated_hits(spec, ring, state.next_min_pos,
+                                      max_frames)
+    else:
+        score = dense_preamble_corr(spec, ring)
+        positions, valid = extract_hits(spec, score, state.next_min_pos,
+                                        max_frames)
 
     # gather frame windows (invalid slots read position 0 — masked later)
     starts = jnp.where(valid, positions - cfg.t2sin_size, 0).astype(jnp.int32)
@@ -176,14 +255,17 @@ class StreamingReceiver:
     one fused jit call.
     """
 
-    def __init__(self, spec: FrameSpec, max_frames: int = 0):
+    def __init__(self, spec: FrameSpec, max_frames: int = 0,
+                 sync_mode: str = "gated"):
         self.spec = spec
         self.max_frames = max_frames or (spec.cfg.rx_buf_size + 1)
+        self.sync_mode = sync_mode
         self.state = init_state(spec)
 
     def feed(self, block) -> StreamOut:
         self.state, out = process_buffer(self.spec, self.state,
-                                         jnp.asarray(block), self.max_frames)
+                                         jnp.asarray(block), self.max_frames,
+                                         self.sync_mode)
         return out
 
     def feed_int16(self, raw) -> StreamOut:

@@ -41,19 +41,33 @@ def pilot_freq_shift(spec, preamble_sig: jnp.ndarray) -> jnp.ndarray:
         shifted = np.concatenate([np.arange(lo, hi) for lo, hi in segs])
         rows = (shifted + (size + 1) // 2) % size
         amp = jnp.abs(fftops.partial_dft(preamble_sig[..., :size], rows))
-        total = None
+        peaks = []
         off = 0
         for lo, hi in segs:
-            peak = lo + jnp.argmax(amp[..., off:off + (hi - lo)], axis=-1)
+            peaks.append(lo + jnp.argmax(amp[..., off:off + (hi - lo)],
+                                         axis=-1))
             off += hi - lo
-            total = peak if total is None else total + peak
     else:
         amp = jnp.abs(jnp.fft.fftshift(
             fftops.fft_fwd(preamble_sig[..., :size]), axes=-1))
-        total = None
-        for lo, hi in segs:
-            peak = lo + jnp.argmax(amp[..., lo:hi], axis=-1)
-            total = peak if total is None else total + peak
+        peaks = [lo + jnp.argmax(amp[..., lo:hi], axis=-1) for lo, hi in segs]
+
+    pk = jnp.stack(peaks, axis=-1)                     # [..., n_windows]
+    tol = spec.cfg.cfo_outlier_bins
+    if tol > 0:
+        # Robustification beyond the reference: at low SNR a single window's
+        # argmax landing on a noise bin corrupts the MEAN estimate by up to
+        # window_width/n_windows bins — enough to destroy the whole frame.
+        # Replace any per-window offset deviating > tol bins from the median
+        # offset with the median.  On clean signals the per-window offsets
+        # agree within ~2 bins (window spacing truncation), so nothing is
+        # rejected and the arithmetic — hence golden parity — is unchanged.
+        lo_vec = jnp.asarray([lo for lo, _ in segs], dtype=pk.dtype)
+        delta = pk - lo_vec
+        med = jnp.sort(delta, axis=-1)[..., delta.shape[-1] // 2]
+        keep = jnp.abs(delta - med[..., None]) <= tol
+        pk = jnp.where(keep, pk, lo_vec + med[..., None])
+    total = pk.sum(axis=-1)
     # reference divides by num_pilot_subc (== number of used windows)
     shift = total.astype(amp.dtype) / spec.cfg.num_pilot_subc
     return (shift - size / 2) / size

@@ -56,6 +56,33 @@ def t2_ratio_track(spec, capture: jnp.ndarray, backend: str = "partial") -> jnp.
     return ratio
 
 
+def t2_ratio_track_hop(spec, capture: jnp.ndarray) -> jnp.ndarray:
+    """Per-window masked/total energy ratio at 50% window overlap
+    (hop = t2sin_size/2).  capture [..., n] -> [..., nwin], window w starts at
+    sample w*hop.
+
+    The block-aligned track (``t2_ratio_track``) can miss a burst whose start
+    falls mid-block (the straddling windows each hold only part of it); with
+    50% overlap some window always covers >= 3/4 of the burst, which keeps the
+    ratio above a relaxed *gate* threshold at any alignment.  Built from two
+    shifted aligned tracks (no gather): even windows = track of x, odd = track
+    of x[hop:], interleaved.
+    """
+    size = spec.cfg.t2sin_size
+    hop = size // 2
+    r0 = t2_ratio_track(spec, capture)                 # [..., n//size]
+    r1 = t2_ratio_track(spec, capture[..., hop:])      # [..., (n-hop)//size]
+    n0, n1 = r0.shape[-1], r1.shape[-1]
+    m = min(n0, n1)
+    inter = jnp.stack([r0[..., :m], r1[..., :m]], axis=-1)
+    inter = inter.reshape(*inter.shape[:-2], 2 * m)
+    tails = []
+    if n0 > m:
+        tails.append(r0[..., m:])
+    out = jnp.concatenate([inter] + tails, axis=-1) if tails else inter
+    return out
+
+
 def first_above(track: jnp.ndarray, level: float) -> tuple[jnp.ndarray, jnp.ndarray]:
     """First index along the last axis where track > level; (-1, False) if none.
 

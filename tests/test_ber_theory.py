@@ -1,0 +1,125 @@
+"""BER-vs-theory validation: the full chain's AWGN bit-error rate must sit
+within a documented implementation-loss budget of the closed-form curve for
+the modem's actual bit mapping.
+
+This catches silent demod SNR penalties (equalizer noise, gain
+misnormalization, estimator bias) that pass/fail loopbacks cannot see.
+Reference analysis role: `python_code/log.py:37-90` (offline accuracy stats).
+
+Es/N0 accounting: the channel sim injects complex noise of power
+N = mean|frame|^2 * 10^(-snr/10) per time sample; with the reference's
+unnormalized-FFT convention the per-data-bin Es/N0 equals Es/N exactly
+(Parseval both ways), so the theoretical curve needs no fudge factors.
+
+Theory uses the reference's *binary* (non-Gray) constellation labeling
+(`OFDM/modulation.cpp:12-20`): per PAM axis the mid-level boundary flips two
+bits, so QAM16 BER = Q(sqrt(0.8*Eb/N0)) (4/3x the Gray curve); QAM4's 1
+bit/axis is Gray regardless, BER = Q(sqrt(2*Eb/N0)).
+
+Budgets (empirically ~0.8-1.1 dB for QAM16, ~1.5-2 dB for QAM4 on this chain):
+
+* QAM16 @ Eb/N0 8.4-10.9 dB: 1.25 dB.  Decomposes as pilot-ratio
+  equalization noise (each 32-bin segment is divided by two noisy pilot
+  measurements at +7.5 dB pilot boost), preamble-based channel/phase
+  estimation noise, and residual CFO — all inherent to the reference
+  algorithm.
+* QAM4 @ Eb/N0 7.4-8.4 dB: 2.5 dB, with up to 8% frame erasures.  QPSK's
+  power efficiency means its measurable-BER region sits ~6 dB lower in
+  *absolute* noise than QAM16's, while the preamble/pilot/CP overhead power
+  is fixed — so every estimator (coarse CFO argmax, CP fine-CFO phase
+  accumulation, common phase) operates much closer to its own floor.
+  Occasional estimator blowups erase whole frames (counted and bounded
+  separately); the surviving frames carry the accumulated-phase-noise
+  penalty.  The t2 detect threshold is lowered from the reference's 0.8: at
+  this noise level the burst-block masked-energy ratio sits ~0.65-0.72 —
+  low-SNR operation requires the operator to relax `T2_sin_level`, which is
+  exactly why it is a config parameter.
+
+The RX runs with the (default-on) coarse-CFO per-window outlier rejection
+(`ModemConfig.cfo_outlier_bins`) — without it ~40% of QAM4 frames at these
+points erase via a single noise-bin argmax corrupting the mean estimate.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from c_ofdm_tpu import ModemConfig, make_frame_spec
+from c_ofdm_tpu.channel.sim import ChannelParams, apply_channel
+from c_ofdm_tpu.models import rx as rxm, tx as txm
+from c_ofdm_tpu.ops import modulation
+
+ERASURE_BER = 0.25     # a frame above this is an estimator blowup, not noise
+
+
+def _qfunc(x):
+    return 0.5 * math.erfc(x / math.sqrt(2))
+
+
+def _binary_qam_ber(mod_type: int, ebn0_db: float) -> float:
+    """Closed-form nearest-neighbor BER for the reference's binary-labeled
+    square QAM (see module docstring)."""
+    e = 10 ** (ebn0_db / 10)
+    if mod_type == 2:                    # QAM4 == QPSK, 1 bit/axis
+        return _qfunc(math.sqrt(2 * e))
+    if mod_type == 4:                    # QAM16, binary-labeled 4-PAM/axis
+        return _qfunc(math.sqrt(0.8 * e))
+    raise NotImplementedError(mod_type)
+
+
+@pytest.mark.parametrize(
+    "mod_type,snr_points,t2_level,loss_budget_db,max_erasure", [
+        (2, (7.5, 8.5), 0.5, 2.5, 0.08),    # QAM4 at Eb/N0 ~7.4-8.4 dB
+        (4, (12.0, 14.5), 0.8, 1.25, 0.0),  # QAM16 at Eb/N0 ~8.4-10.9 dB
+    ])
+def test_ber_within_budget_of_theory(mod_type, snr_points, t2_level,
+                                     loss_budget_db, max_erasure):
+    cfg = ModemConfig(mod_type=mod_type, t2_sin_level=t2_level)
+    spec = make_frame_spec(cfg, dtype=jnp.complex64)
+    B = 48
+    rng = np.random.default_rng(mod_type)
+    wire = jnp.asarray(rng.integers(0, 256, (B, cfg.frame_bytes),
+                                    dtype=np.uint8))
+    frames = txm.transmit(spec, wire)
+    s_time = float((jnp.abs(frames) ** 2).mean())
+    es = float(np.mean(np.abs(modulation.constellation(mod_type)) ** 2))
+
+    for i, snr_db in enumerate(snr_points):
+        params = ChannelParams(snr_db=snr_db, cfo=1e-4, timing_offset=256,
+                               capture_len=cfg.frame_len + 2048)
+        caps = apply_channel(params, jax.random.PRNGKey(100 + i), frames)
+        res, s = rxm.receive_batch_jit(spec, caps)
+        assert bool(np.asarray(s.found).all()), (
+            f"mod{mod_type} snr{snr_db}: sync missed "
+            f"{int((~np.asarray(s.found)).sum())}/{B} frames")
+        per_frame = np.unpackbits(
+            np.asarray(res.mac_bytes) ^ np.asarray(wire), axis=1).mean(1)
+        erased = per_frame > ERASURE_BER
+        assert erased.mean() <= max_erasure, (
+            f"mod{mod_type} snr{snr_db}: {int(erased.sum())}/{B} frames "
+            f"erased (budget {max_erasure:.0%}) — estimator robustness "
+            f"regressed")
+        ber = float(per_frame[~erased].mean())
+        n_err = int(per_frame[~erased].sum() * cfg.frame_bytes * 8)
+
+        # exact injected Es/N0 (see module docstring)
+        esn0_db = 10 * math.log10(es / s_time) + snr_db
+        ebn0_db = esn0_db - 10 * math.log10(mod_type)
+        t_mid = _binary_qam_ber(mod_type, ebn0_db)
+        t_budget = _binary_qam_ber(mod_type, ebn0_db - loss_budget_db)
+        t_sanity = _binary_qam_ber(mod_type, ebn0_db + 2.0)
+        assert n_err >= 20, (
+            f"mod{mod_type} snr{snr_db}: too few errors ({n_err}) for a "
+            f"meaningful BER estimate — raise SNR points")
+        # implementation loss < budget ...
+        assert ber <= t_budget, (
+            f"mod{mod_type} snr{snr_db}dB: BER {ber:.2e} exceeds theory at "
+            f"{loss_budget_db} dB loss {t_budget:.2e} (theory {t_mid:.2e} "
+            f"@ Eb/N0 {ebn0_db:.1f} dB)")
+        # ... and the Es/N0 accounting is honest (not secretly pessimistic)
+        assert ber >= t_sanity, (
+            f"mod{mod_type} snr{snr_db}dB: BER {ber:.2e} is better than "
+            f"theory at +2 dB {t_sanity:.2e} — SNR accounting is off")

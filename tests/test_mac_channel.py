@@ -101,3 +101,42 @@ def test_multipath_loopback(spec64, cfg):
     assert bool(s.found)
     out = mac.read_soft(res.constellation.real + res.constellation.imag)
     assert np.array_equal(np.asarray(out.payload), payload)
+
+
+@pytest.mark.parametrize("sco_ppm", [20.0, -20.0])
+def test_sco_multiframe_stream(spec64, cfg, sco_ppm):
+    """Sample-clock offset robustness (a real AD9361 link always drifts a few
+    ppm): a 12-frame back-to-back stream resampled at +-20 ppm must decode
+    every frame CRC-clean — per-frame preamble sync re-acquires the
+    accumulated drift, and the linear-phase channel estimator absorbs the
+    sub-sample residual."""
+    from c_ofdm_tpu.models.streaming import StreamingReceiver
+
+    mac = Mac(frame_bytes=cfg.frame_bytes, spread=cfg.mod_type)
+    rng = np.random.default_rng(7)
+    n_frames = 12
+    payloads = rng.integers(0, 256, (n_frames, mac.payload), dtype=np.uint8)
+    wire = mac.write(jnp.asarray(payloads),
+                     jnp.arange(n_frames, dtype=jnp.uint32))
+    frames = np.asarray(txm.transmit(spec64, wire))
+    stream = np.concatenate([np.zeros(900, frames.dtype), frames.reshape(-1)])
+
+    buf_len = cfg.rx_buf_size * cfg.frame_len
+    total = ((stream.size + buf_len - 1) // buf_len) * buf_len
+    params = ChannelParams(snr_db=24.0, cfo=1.5e-4, sco_ppm=sco_ppm,
+                           capture_len=total, amplitude=60.0)
+    cap = np.asarray(apply_channel(params, jax.random.PRNGKey(3),
+                                   jnp.asarray(stream)))
+
+    rxr = StreamingReceiver(spec64, max_frames=16)
+    got = []
+    for i in range(total // buf_len):
+        out = rxr.feed(cap[i * buf_len:(i + 1) * buf_len])
+        for k in np.nonzero(np.asarray(out.valid))[0]:
+            fr = mac.read_soft(out.diag[k])
+            got.append((int(np.asarray(fr.seq)), np.asarray(fr.payload),
+                        bool(np.asarray(fr.valid))))
+    assert len(got) == n_frames, f"decoded {len(got)} of {n_frames}"
+    for i, (seq, pl, ok) in enumerate(got):
+        assert seq == i and ok, (i, seq, ok)
+        assert np.array_equal(pl, payloads[i])

@@ -132,3 +132,60 @@ def test_stream_sync_loss_and_recovery(spec64, cfg):
     for i, (seq, pl, ok) in enumerate(got):
         assert ok
         assert np.array_equal(pl, (payloads_a if i < 3 else payloads_b)[seq])
+
+
+def test_gated_matches_dense_sync(spec64, cfg):
+    """The t2-gated production sync must find the same frames at the same
+    positions as the dense every-lag matched filter on realistic streams
+    (random offsets, noise, CFO), across buffer boundaries."""
+    sig, payloads, mac = _make_stream(spec64, cfg, n_frames=40, gap=2111,
+                                      seed=13, snr_db=22.0, cfo=-1.2e-4,
+                                      lead=50_000)
+    buf_len = cfg.rx_buf_size * cfg.frame_len
+    pad = (-sig.size) % buf_len
+    sig = np.concatenate([sig, np.zeros(pad, dtype=sig.dtype)])
+    outs = {}
+    for mode in ("gated", "dense"):
+        rxr = StreamingReceiver(spec64, max_frames=24, sync_mode=mode)
+        rows = []
+        for i in range(sig.size // buf_len):
+            out = rxr.feed(sig[i * buf_len:(i + 1) * buf_len])
+            v = np.asarray(out.valid)
+            rows.append((np.asarray(out.positions)[v],
+                         np.asarray(out.mac_bytes)[v]))
+        outs[mode] = rows
+    for (pg, bg), (pd, bd) in zip(outs["gated"], outs["dense"]):
+        np.testing.assert_array_equal(pg, pd)
+        np.testing.assert_array_equal(bg, bd)
+    total = sum(len(p) for p, _ in outs["gated"])
+    assert total == 40
+
+
+def test_gated_recall_all_alignments(spec64, cfg):
+    """The overlapping-window gate must fire for a burst at ANY sample
+    alignment relative to the 256-sample detector blocks (the failure mode
+    the 50% hop exists for)."""
+    from c_ofdm_tpu.models.streaming import gated_hits, init_state
+    import jax.numpy as jnp
+
+    mac = Mac(frame_bytes=cfg.frame_bytes, spread=cfg.mod_type)
+    rng = np.random.default_rng(3)
+    payload = rng.integers(0, 256, mac.payload, dtype=np.uint8)
+    wire = mac.write(jnp.asarray(payload), jnp.uint32(0))
+    frame = np.asarray(txm.transmit(spec64, wire))
+    n = 4 * cfg.frame_len
+    noise = (rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n))) \
+        * 0.02
+    offs = [0, 37, 64, 101, 128, 191, 213, 255]   # all alignment classes
+    ring = noise.astype(np.complex64)
+    for r, off in enumerate(offs):
+        s = 3000 + off
+        ring[r, s:s + cfg.frame_len] += frame * 60.0
+    pos, valid = jax.vmap(
+        lambda x: gated_hits(spec64, x, jnp.asarray(0, jnp.int32), 4))(
+            jnp.asarray(ring))
+    pos, valid = np.asarray(pos), np.asarray(valid)
+    assert valid[:, 0].all(), (valid, pos)
+    starts = pos[:, 0] - cfg.t2sin_size
+    for r, off in enumerate(offs):
+        assert abs(int(starts[r]) - (3000 + off)) <= 1, (r, off, starts[r])
