@@ -4,11 +4,20 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's compute-bound 25.0 Msamples/s on one x86 core
 (BASELINE.md; LOG.txt mean 240.5 us per 6016-sample frame, full rx chain).
 
-The measured step matches the reference's per-frame work end-to-end:
+Modes:
+  python bench.py               # batch path: B=256 single-frame captures/step
+  python bench.py --streaming   # production path: 41-frame ring buffers
+                                # through models.streaming.process_buffer
+                                # (t2-gated sync, carry-over state threading)
+
+The measured batch step matches the reference's per-frame work end-to-end:
 payload bytes -> QAM map -> pilot scatter -> batched IFFT -> CP -> frame
 assembly -> two-tone detect -> preamble matched-filter sync -> coarse pilot
 CFO -> derotation -> per-symbol CP CFO -> common phase -> LS channel est ->
-batched FFT + pilot equalization -> hard demap -> bytes.
+batched FFT + pilot equalization -> hard demap.  The streaming step is the
+reference's real workload (`rx.cpp:94-237`): a 246 656-sample ring with
+frames at arbitrary offsets, detection gated on the two-tone track, up to 41
+frames demodulated per buffer, carry-over halo between buffers.
 
 Measurement notes for this environment: the TPU sits behind a relay where
 (a) every compiled executable costs minutes of remote compile, (b) repeated
@@ -17,15 +26,25 @@ So: ONE executable total — a device-side fori_loop whose trip count is a
 *traced* argument — timed at two trip counts with distinct per-step inputs
 (step i consumes pool[i mod K]), forced host readback of a data-dependent
 checksum, and the marginal time (t_hi - t_lo)/(k_hi - k_lo) reported.
+Relay-window quality drifts minute-to-minute (shared tenancy), so several
+measurement rounds run and the best marginal estimate is kept; the
+round-to-round spread is printed as a window-quality indicator.
 """
 
+import argparse
 import json
 import sys
 import time
 
 import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache: repeated driver runs of the same source reuse
+# the serialized executable instead of paying the multi-minute relay compile
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 BASELINE_SAMPLES_PER_S = 25.0e6
 
@@ -48,14 +67,11 @@ def build_runner(spec, K):
     return jax.jit(run)
 
 
-def bench(spec, B=256, K=8, k_lo=4, k_hi=100, reps=4):
-    f = build_runner(spec, K)
-    rng = np.random.default_rng(B)
+def measure(f, pools, k_lo, k_hi, rounds):
     t0 = time.perf_counter()
-    pools = [jnp.asarray(rng.integers(0, 256, (K, B, spec.cfg.frame_bytes),
-                                      dtype=np.uint8)) for _ in range(reps)]
     float(f(pools[0], 1))   # the single compile
-    print(f"compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    print(f"compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr,
+          flush=True)
 
     def timed(k):
         best = float("inf")
@@ -67,32 +83,138 @@ def bench(spec, B=256, K=8, k_lo=4, k_hi=100, reps=4):
 
     # several measurement rounds (same executable — cheap): the relay window
     # quality drifts minute-to-minute, keep the best marginal estimate
-    per_step = float("inf")
-    for r in range(3):
+    estimates = []
+    for r in range(rounds):
         t_lo = timed(k_lo)
         t_hi = timed(k_hi)
         est = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+        estimates.append(est)
         print(f"round {r}: t({k_lo})={t_lo*1e3:.1f}ms t({k_hi})={t_hi*1e3:.1f}ms "
               f"-> {est*1e3:.3f} ms/step", file=sys.stderr, flush=True)
-        per_step = min(per_step, est)
-    return B * spec.cfg.frame_len / per_step, per_step
+    best = min(estimates)
+    spread = max(estimates) / best
+    print(f"window quality: best {best*1e3:.3f} ms/step, "
+          f"worst/best spread {spread:.2f}x over {rounds} rounds",
+          file=sys.stderr, flush=True)
+    return best
 
 
-def main():
+def bench_batch(B=256, K=8, k_lo=4, k_hi=100, reps=4, rounds=5):
     from c_ofdm_tpu import ModemConfig, make_frame_spec
 
     spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64,
                            fft_backend="matmul")
-    B = 256
-    sps, per = bench(spec, B)
-    print(f"B={B}: {sps/1e6:.1f} Msamples/s ({per*1e3:.3f} ms/step)",
+    f = build_runner(spec, K)
+    rng = np.random.default_rng(B)
+    pools = [jnp.asarray(rng.integers(0, 256, (K, B, spec.cfg.frame_bytes),
+                                      dtype=np.uint8)) for _ in range(reps)]
+    per_step = measure(f, pools, k_lo, k_hi, rounds)
+    sps = B * spec.cfg.frame_len / per_step
+    print(f"B={B}: {sps/1e6:.1f} Msamples/s ({per_step*1e3:.3f} ms/step)",
           file=sys.stderr, flush=True)
-    print(json.dumps({
+    return {
         "metric": "ofdm_tx_rx_samples_per_s_per_chip",
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_S, 3),
-    }))
+    }
+
+
+def _make_rings(spec, n_rings, seed, fill=0.8):
+    """Realistic ingest buffers: frames at random offsets with noise gaps,
+    CFO, boundary-straddling frames across consecutive buffers.
+
+    Construction is data prep, not the benchmark — it runs pinned to the CPU
+    backend (the relayed TPU rejects some host readbacks outside the measured
+    executable, and polluting the device queue would skew timing anyway)."""
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        return _make_rings_cpu(spec, n_rings, seed, fill)
+
+
+def _make_rings_cpu(spec, n_rings, seed, fill):
+    from c_ofdm_tpu.mac.mac import Mac
+    from c_ofdm_tpu.models import tx as txm
+
+    cfg = spec.cfg
+    buf_len = cfg.rx_buf_size * cfg.frame_len
+    total = n_rings * buf_len
+    mac = Mac(frame_bytes=cfg.frame_bytes, spread=cfg.mod_type)
+    rng = np.random.default_rng(seed)
+    n_frames = int(fill * total / cfg.frame_len)
+    payloads = rng.integers(0, 256, (n_frames, mac.payload), dtype=np.uint8)
+    wire = mac.write(jnp.asarray(payloads),
+                     jnp.arange(n_frames, dtype=jnp.uint32))
+    frames = np.asarray(txm.transmit(spec, wire))
+    # random gaps summing to the slack
+    slack = total - n_frames * cfg.frame_len
+    gaps = rng.multinomial(slack, np.ones(n_frames + 1) / (n_frames + 1))
+    sig = np.zeros(total, dtype=np.complex64)
+    pos = 0
+    for i in range(n_frames):
+        pos += gaps[i]
+        sig[pos:pos + cfg.frame_len] = frames[i]
+        pos += cfg.frame_len
+    n = np.arange(total)
+    sig = sig * np.exp(2j * np.pi * 1e-4 * n) * 60.0
+    noise = (rng.standard_normal(total) + 1j * rng.standard_normal(total))
+    sig = sig + noise * np.sqrt((np.abs(frames) ** 2).mean() * 3600
+                                * 10 ** (-26.0 / 10) / 2)
+    return sig.reshape(n_rings, buf_len).astype(np.complex64), n_frames
+
+
+def bench_streaming(S=4, k_lo=4, k_hi=60, reps=3, rounds=5):
+    from c_ofdm_tpu import ModemConfig, make_frame_spec
+    from c_ofdm_tpu.models import streaming
+
+    spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64,
+                           fft_backend="matmul")
+    cfg = spec.cfg
+    buf_len = cfg.rx_buf_size * cfg.frame_len
+    max_frames = cfg.rx_buf_size + 1
+
+    def run(pool, k):
+        # pool is interleaved f32 [S, buf_len, 2] — the SDR wire format (and
+        # complex device_put is unimplemented on the relayed TPU runtime);
+        # process_buffer forms complex on device
+        def body(i, carry):
+            state, acc = carry
+            state, out = streaming.process_buffer(spec, state, pool[i % S],
+                                                  max_frames)
+            acc = (acc + out.num_found.astype(jnp.uint32)
+                   + out.mac_bytes.astype(jnp.uint32).sum())
+            return state, acc
+        st0 = streaming.init_state(spec)
+        return jax.lax.fori_loop(0, k, body, (st0, jnp.uint32(0)))[1]
+
+    f = jax.jit(run)
+    pools = []
+    for r in range(reps):
+        rings, n_frames = _make_rings(spec, S, seed=r)
+        iq = np.stack([rings.real, rings.imag], axis=-1).astype(np.float32)
+        pools.append(jnp.asarray(iq))      # to the measured (TPU) device
+    print(f"streaming: {S} rings x {buf_len} samples, ~{n_frames} frames",
+          file=sys.stderr, flush=True)
+    per_buf = measure(f, pools, k_lo, k_hi, rounds)
+    sps = buf_len / per_buf
+    fps = (n_frames / S) / per_buf
+    print(f"streaming: {sps/1e6:.1f} Msamples/s sustained "
+          f"({per_buf*1e3:.3f} ms/buffer, ~{fps:.0f} frames/s)",
+          file=sys.stderr, flush=True)
+    return {
+        "metric": "ofdm_streaming_samples_per_s_per_chip",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / BASELINE_SAMPLES_PER_S, 3),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--streaming", action="store_true",
+                   help="bench the production streaming ring path")
+    args = p.parse_args()
+    out = bench_streaming() if args.streaming else bench_batch()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -4,10 +4,19 @@ with per-buffer stage tracing flushed once at exit (LOG.txt pattern).
 
 Usage:
   python -m c_ofdm_tpu.apps.rxstream --in capture.bin --format i16 \
-      --out decoded.bin [--log LOG.txt] [--metrics metrics.jsonl]
+      --out decoded.bin [--log LOG.txt] [--metrics metrics.jsonl] \
+      [--summary-json summary.json]
 
 Input formats: i16 (interleaved int16 IQ, scaled by config mult) or
 f64 (interleaved float64 IQ, reference data.bin layout).
+
+The loop is pipelined like the reference's double-buffer thread
+(`rx.cpp:55-66`), but against the accelerator instead of the radio: while the
+device demodulates buffer N, the host reads buffer N+1 from the source and
+stages it on-device (async ``device_put``), and buffer N-1's results are
+materialized (the readback overlaps N's compute — JAX dispatch is
+asynchronous).  The end-of-run summary reports host-feed vs device-wait time
+so feed-bound operation is visible, like ``st_rx``'s ingest benchmark.
 """
 
 from __future__ import annotations
@@ -31,6 +40,10 @@ def main(argv=None):
     p.add_argument("--native-ingest", action="store_true",
                    help="use the C++ ingest ring for file reads (i16 only; NB the replay source loops the file like the reference's cyclic TX)")
     p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--sync-mode", choices=("gated", "dense"), default="gated")
+    p.add_argument("--summary-json", default="",
+                   help="write end-of-run throughput summary JSON here "
+                        "('-' = stdout)")
     args = p.parse_args(argv)
 
     from c_ofdm_tpu import ModemConfig, load_config, make_frame_spec
@@ -41,7 +54,8 @@ def main(argv=None):
     cfg = load_config(args.config) if args.config else ModemConfig()
     spec = make_frame_spec(cfg, dtype=jnp.complex64)
     mac = Mac(frame_bytes=cfg.frame_bytes, spread=cfg.mod_type)
-    rxr = StreamingReceiver(spec, max_frames=args.max_frames)
+    rxr = StreamingReceiver(spec, max_frames=args.max_frames,
+                            sync_mode=args.sync_mode)
     trace = StageTrace()
 
     buf_samples = cfg.rx_buf_size * cfg.frame_len
@@ -78,33 +92,91 @@ def main(argv=None):
         if src is not sys.stdin.buffer:
             src.close()
 
+    import time
+
+    import jax
+
     out_f = open(args.out, "wb")
     n_frames = 0
     n_crc_bad = 0
+    n_bufs = 0
     metrics_rows = []
-    for i, block in enumerate(buffers()):
-        trace.iter_start(ITER=i)
-        out = rxr.feed(block)
-        trace.point("RX_STEP")
-        valid = np.asarray(out.valid)
+    t_feed = 0.0       # host read + device staging
+    t_drain = 0.0      # blocked on device results
+
+    def materialize(i, out):
+        """Force buffer i's results off-device and sink them (runs one
+        iteration behind the dispatch, overlapping buffer i+1's compute)."""
+        nonlocal n_frames, n_crc_bad, t_drain
+        t0 = time.perf_counter()
+        valid, diag, positions, cfo = jax.device_get(
+            (out.valid, out.diag, out.positions, out.cfo))
+        t_drain += time.perf_counter() - t0
         for k in np.nonzero(valid)[0]:
-            fr = mac.read_soft(out.diag[k])
+            fr = mac.read_soft(jnp.asarray(diag[k]))
             ok = bool(np.asarray(fr.valid))
             n_crc_bad += (not ok)
             out_f.write(np.asarray(fr.payload).tobytes())
             if args.metrics:
                 metrics_rows.append({
-                    "buf": i, "slot": int(k),
-                    "pos": int(np.asarray(out.positions)[k]),
-                    "seq": int(np.asarray(fr.seq)),
-                    "cfo": float(np.asarray(out.cfo)[k]),
+                    "buf": i, "slot": int(k), "pos": int(positions[k]),
+                    "seq": int(np.asarray(fr.seq)), "cfo": float(cfo[k]),
                     "crc_ok": ok,
                 })
             n_frames += 1
         trace.point("MAC")
         trace.value("DET", n_frames)
         trace.value("FR_IN_BUF", int(valid.sum()))
+
+    def staged_blocks():
+        """Read the next host buffer and stage it on-device while the device
+        is busy with the previous one (rx.cpp:55-66 double-buffer role).
+        Complex blocks go up as interleaved f32 [n, 2] (the SDR wire format;
+        complex device_put is unimplemented on some TPU runtimes) and are
+        recombined on device inside process_buffer."""
+        nonlocal t_feed
+        for block in buffers():
+            t0 = time.perf_counter()
+            if np.iscomplexobj(block):
+                block = np.stack([block.real, block.imag],
+                                 axis=-1).astype(np.float32)
+            dev = jax.device_put(block)
+            t_feed += time.perf_counter() - t0
+            yield dev
+
+    t_wall0 = time.perf_counter()
+    pending = None   # (i, StreamOut) of the buffer still computing
+    for i, dev_block in enumerate(staged_blocks()):
+        trace.iter_start(ITER=i)
+        out = rxr.feed(dev_block)       # async dispatch
+        trace.point("RX_STEP")
+        n_bufs += 1
+        if pending is not None:
+            materialize(*pending)       # overlaps buffer i's compute
+        pending = (i, out)
+    if pending is not None:
+        materialize(*pending)
+    wall = time.perf_counter() - t_wall0
     out_f.close()
+
+    summary = {
+        "buffers": n_bufs,
+        "frames": n_frames,
+        "crc_failures": n_crc_bad,
+        "wall_s": round(wall, 4),
+        "samples_per_s": round(n_bufs * buf_samples / wall, 1),
+        "frames_per_s": round(n_frames / wall, 1),
+        "host_feed_s": round(t_feed, 4),
+        "device_drain_s": round(t_drain, 4),
+        "feed_bound": t_feed > 0.5 * wall,
+    }
+    if args.summary_json:
+        text = __import__("json").dumps(summary)
+        if args.summary_json == "-":
+            print(text)
+        else:
+            with open(args.summary_json, "w") as f:
+                f.write(text + "\n")
 
     if args.log:
         trace.to_log_txt(args.log)

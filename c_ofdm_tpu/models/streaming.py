@@ -186,6 +186,11 @@ def process_buffer(spec: FrameSpec, state: StreamState, block: jnp.ndarray,
     """
     cfg = spec.cfg
     max_frames = max_frames or (cfg.rx_buf_size + 1)
+    if not jnp.issubdtype(block.dtype, jnp.complexfloating):
+        # interleaved re/im floats [n, 2] — the SDR wire format, and the only
+        # layout the host can stage on some TPU runtimes (complex device_put
+        # is unimplemented on the relayed backend); combine on device
+        block = block[..., 0] + 1j * block[..., 1]
     block = block.astype(spec.dtype)
     carry = jnp.where(state.carry_valid, state.carry,
                       jnp.zeros_like(state.carry))
