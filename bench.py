@@ -162,7 +162,8 @@ def _make_rings_cpu(spec, n_rings, seed, fill):
     return sig.reshape(n_rings, buf_len).astype(np.complex64), n_frames
 
 
-def bench_streaming(S=4, k_lo=4, k_hi=60, reps=3, rounds=5):
+def bench_streaming(S=4, k_lo=4, k_hi=60, reps=3, rounds=5,
+                    sync_mode="gated"):
     from c_ofdm_tpu import ModemConfig, make_frame_spec
     from c_ofdm_tpu.models import streaming
 
@@ -179,7 +180,7 @@ def bench_streaming(S=4, k_lo=4, k_hi=60, reps=3, rounds=5):
         def body(i, carry):
             state, acc = carry
             state, out = streaming.process_buffer(spec, state, pool[i % S],
-                                                  max_frames)
+                                                  max_frames, sync_mode)
             acc = (acc + out.num_found.astype(jnp.uint32)
                    + out.mac_bytes.astype(jnp.uint32).sum())
             return state, acc
@@ -212,8 +213,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--streaming", action="store_true",
                    help="bench the production streaming ring path")
+    p.add_argument("--sync-mode", choices=("gated", "dense"),
+                   default="gated", help="streaming sync variant to A/B")
     args = p.parse_args()
-    out = bench_streaming() if args.streaming else bench_batch()
+    out = (bench_streaming(sync_mode=args.sync_mode) if args.streaming
+           else bench_batch())
     print(json.dumps(out))
 
 

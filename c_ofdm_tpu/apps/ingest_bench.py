@@ -42,7 +42,9 @@ def main(argv=None):
         for _ in range(args.buffers):
             buf = ing.pop_f32()
             if dev_put is not None:
-                dev_put(buf.view("complex64"))
+                # ship interleaved f32 (the wire format; complex device_put
+                # is unimplemented on the relayed TPU runtime)
+                dev_put(buf.reshape(-1, 2))
         dt = time.perf_counter() - t0
         st = ing.stats()
 

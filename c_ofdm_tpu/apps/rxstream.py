@@ -44,6 +44,9 @@ def main(argv=None):
     p.add_argument("--summary-json", default="",
                    help="write end-of-run throughput summary JSON here "
                         "('-' = stdout)")
+    p.add_argument("--profile", default="",
+                   help="capture a jax.profiler device trace of the run "
+                        "into this directory (view with xprof/tensorboard)")
     args = p.parse_args(argv)
 
     from c_ofdm_tpu import ModemConfig, load_config, make_frame_spec
@@ -144,18 +147,22 @@ def main(argv=None):
             t_feed += time.perf_counter() - t0
             yield dev
 
+    import contextlib
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
     t_wall0 = time.perf_counter()
-    pending = None   # (i, StreamOut) of the buffer still computing
-    for i, dev_block in enumerate(staged_blocks()):
-        trace.iter_start(ITER=i)
-        out = rxr.feed(dev_block)       # async dispatch
-        trace.point("RX_STEP")
-        n_bufs += 1
+    with prof:
+        pending = None   # (i, StreamOut) of the buffer still computing
+        for i, dev_block in enumerate(staged_blocks()):
+            trace.iter_start(ITER=i)
+            out = rxr.feed(dev_block)       # async dispatch
+            trace.point("RX_STEP")
+            n_bufs += 1
+            if pending is not None:
+                materialize(*pending)       # overlaps buffer i's compute
+            pending = (i, out)
         if pending is not None:
-            materialize(*pending)       # overlaps buffer i's compute
-        pending = (i, out)
-    if pending is not None:
-        materialize(*pending)
+            materialize(*pending)
     wall = time.perf_counter() - t_wall0
     out_f.close()
 

@@ -35,6 +35,9 @@ class FrameSpec:
     cfo_borders: np.ndarray         # [num_pilot_subc+2] int, pilot windows after fftshift
     cfo_window_mask: np.ndarray     # [num_pilot_subc+1] bool, True = use window
     fft_backend: str = "xla"        # "xla" | "matmul" | "pallas" (symbol FFTs)
+    extract_backend: str = "auto"   # frame-window gathers: "auto" (pallas
+    #                                 kernel on TPU/c64, xla elsewhere) |
+    #                                 "xla" | "pallas"
 
     @property
     def rdtype(self):
@@ -65,12 +68,14 @@ def _cfo_borders(cfg: ModemConfig):
 
 
 def make_frame_spec(cfg: ModemConfig = None, dtype=jnp.complex64,
-                    fft_backend: str = "xla") -> FrameSpec:
+                    fft_backend: str = "xla",
+                    extract_backend: str = "auto") -> FrameSpec:
     cfg = cfg or ModemConfig()
     pilots, data_bins = oracle.subcarrier_maps(cfg)
     borders, wmask = _cfo_borders(cfg)
     return FrameSpec(
         fft_backend=fft_backend,
+        extract_backend=extract_backend,
         cfg=cfg,
         dtype=dtype,
         pilot_bins=pilots.astype(np.int32),

@@ -109,6 +109,46 @@ def extract_sig(spec: FrameSpec, capture: jnp.ndarray,
         cfg.preamble_len + cfg.message_len)
 
 
+def _pallas_extract_ok(spec) -> bool:
+    """Frame-window gathers go through the Pallas VMEM-local kernel when
+    allowed: XLA lowers a vmapped dynamic_slice to a generic gather, measured
+    5.9x slower on TPU (0.722 vs 0.122 ms at B=256, win=5760 — PERF.md)."""
+    if spec.extract_backend == "pallas":
+        return True
+    if spec.extract_backend != "auto" or spec.dtype != jnp.complex64:
+        return False
+    from ..ops import pallas_extract
+    return pallas_extract._on_tpu()
+
+
+def extract_sigs_rows(spec: FrameSpec, captures: jnp.ndarray,
+                      frame_starts: jnp.ndarray) -> jnp.ndarray:
+    """Batched extract_sig: captures [B, n], frame_starts [B] -> [B, sig]."""
+    cfg = spec.cfg
+    ln = cfg.preamble_len + cfg.message_len
+    if _pallas_extract_ok(spec):
+        from ..ops import pallas_extract
+        starts = jnp.clip(frame_starts + cfg.t2sin_size, 0,
+                          captures.shape[-1] - ln).astype(jnp.int32)
+        return pallas_extract.extract_windows(captures, starts, ln)
+    return jax.vmap(lambda c, s: extract_sig(spec, c, s))(
+        captures, frame_starts)
+
+
+def extract_sigs_single(spec: FrameSpec, capture: jnp.ndarray,
+                        frame_starts: jnp.ndarray) -> jnp.ndarray:
+    """K windows out of ONE capture (the streaming-ring gather):
+    capture [n], frame_starts [K] -> [K, sig]."""
+    cfg = spec.cfg
+    ln = cfg.preamble_len + cfg.message_len
+    if _pallas_extract_ok(spec):
+        from ..ops import pallas_extract
+        starts = jnp.clip(frame_starts + cfg.t2sin_size, 0,
+                          capture.shape[-1] - ln).astype(jnp.int32)
+        return pallas_extract.extract_windows_single(capture, starts, ln)
+    return jax.vmap(lambda s: extract_sig(spec, capture, s))(frame_starts)
+
+
 def receive_capture(spec: FrameSpec, capture: jnp.ndarray,
                     estimator: str = "lq"):
     """Full single-frame RX on one capture [n]: sync + demod.
@@ -137,11 +177,11 @@ def receive_batch_jit(spec: FrameSpec, captures: jnp.ndarray,
 def receive_batch(spec: FrameSpec, captures: jnp.ndarray,
                   estimator: str = "lq"):
     """Batched single-frame RX with only the scalar sync under vmap; the
-    frame gather and the whole demod chain run batch-native (larger fused
-    kernels / matmuls than vmapping the full per-capture pipeline)."""
+    frame gather (Pallas window kernel on TPU) and the whole demod chain run
+    batch-native (larger fused kernels / matmuls than vmapping the full
+    per-capture pipeline)."""
     s = jax.vmap(lambda c: synchronize(spec, c))(captures)
-    sigs = jax.vmap(lambda c, st: extract_sig(spec, c, st))(
-        captures, s.frame_start)
+    sigs = extract_sigs_rows(spec, captures, s.frame_start)
     return demod_sig(spec, sigs, estimator), s
 
 

@@ -205,11 +205,12 @@ def process_buffer(spec: FrameSpec, state: StreamState, block: jnp.ndarray,
         positions, valid = extract_hits(spec, score, state.next_min_pos,
                                         max_frames)
 
-    # gather frame windows (invalid slots read position 0 — masked later)
+    # gather frame windows (invalid slots read position 0 — masked later);
+    # Pallas VMEM-local window kernel on TPU, vmapped dynamic_slice elsewhere
     starts = jnp.where(valid, positions - cfg.t2sin_size, 0).astype(jnp.int32)
     starts = jnp.clip(starts, 0, n - cfg.frame_len)
 
-    sigs = jax.vmap(lambda s: rxm.extract_sig(spec, ring, s))(starts)
+    sigs = rxm.extract_sigs_single(spec, ring, starts)
     res = rxm.demod_sig(spec, sigs)
     diag = res.constellation.real + res.constellation.imag
 

@@ -19,14 +19,18 @@ MOD_BPSK, MOD_QAM4, MOD_QAM16, MOD_QAM64, MOD_QAM256 = 1, 2, 4, 6, 8
 
 
 def constellation(mod_type: int) -> np.ndarray:
-    """Lookup table indexed by symbol value (numpy; baked into jit as constant)."""
+    """Lookup table indexed by symbol value (numpy; baked into jit as constant).
+
+    QAM is peak-normalized (|corner| = 1, per-axis levels /sqrt(2)) to match
+    the reference TX exactly — verified against `source.bin`'s message
+    spectrum and `constell.bin`; see oracle.reference.constellation."""
     if mod_type == 1:
         return np.exp(1j * (np.pi * np.arange(2) + 5 * np.pi / 4))
     side = 1 << (mod_type // 2)
     idx = np.arange(1 << mod_type)
     re = 2.0 / (side - 1) * (idx % side) - 1.0
     im = 2.0 / (side - 1) * (idx >> (mod_type // 2)) - 1.0
-    return re + 1j * im
+    return (re + 1j * im) / np.sqrt(2.0)
 
 
 def map_symbols(symbols: jnp.ndarray, mod_type: int, dtype=jnp.complex64) -> jnp.ndarray:
@@ -41,15 +45,18 @@ def map_bytes(data: jnp.ndarray, mod_type: int, dtype=jnp.complex64) -> jnp.ndar
 
 
 def hard_demap(points: jnp.ndarray, mod_type: int) -> jnp.ndarray:
-    """Constellation points -> symbol indices (int32), reference hard decision."""
+    """Constellation points -> symbol indices (int32): clamp + round on the
+    peak-normalized grid (the true TX grid; see oracle.reference.hard_demod
+    for why the reference's own unscaled-grid rounding is not replicated)."""
     if mod_type == 1:
         return (points.real + points.imag > 0).astype(jnp.int32)
+    s = 1.0 / np.sqrt(2.0)
     side = 1 << (mod_type // 2)
-    inv_step = (side - 1) / 2.0
-    re = jnp.clip(points.real, -1.0, 1.0)
-    im = jnp.clip(points.imag, -1.0, 1.0)
-    ire = jnp.floor((re + 1.0) * inv_step + 0.5).astype(jnp.int32)
-    iim = jnp.floor((im + 1.0) * inv_step + 0.5).astype(jnp.int32)
+    inv_step = (side - 1) / (2.0 * s)
+    re = jnp.clip(points.real, -s, s)
+    im = jnp.clip(points.imag, -s, s)
+    ire = jnp.floor((re + s) * inv_step + 0.5).astype(jnp.int32)
+    iim = jnp.floor((im + s) * inv_step + 0.5).astype(jnp.int32)
     return ire | (iim << (mod_type // 2))
 
 

@@ -10,7 +10,14 @@ native FFT path and the extra HBM round-trips between FFT and scaling.
 Complex data is carried as separate real/imag float32 planes (Pallas TPU has
 no native complex dtype).
 
-Used via ops.fft backend="pallas"; falls back to interpret mode off-TPU.
+STATUS: retired from the production path (kept opt-in via ops.fft
+backend="pallas" and covered by tests/test_pallas_fft.py).  The XLA
+matmul-DFT backend (`fft_backend="matmul"`, the production default in
+bench/apps) already reaches the MXU for the same formulation, and this
+kernel's compile under vmap exceeded the relayed TPU's compile budget
+(PERF.md).  The Pallas kernel that IS in production is the frame-window
+extractor (`ops/pallas_extract.py`, 5.9x over the XLA gather).  Falls back
+to interpret mode off-TPU.
 """
 
 from __future__ import annotations

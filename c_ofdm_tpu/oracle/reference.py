@@ -49,14 +49,20 @@ def subcarrier_maps(cfg: ModemConfig):
 
 def constellation(mod_type: int) -> np.ndarray:
     """BPSK diagonal (`modulation.cpp:28-30`) or square QAM (`modulation.cpp:12-20`),
-    non-Gray, row-major (imag from high bits, real from low bits)."""
+    non-Gray, row-major (imag from high bits, real from low bits).
+
+    QAM is peak-normalized: the corner symbol has |x| = 1, i.e. per-axis
+    levels {±1/(side-1), ...}/sqrt(2) — verified against the committed
+    `source.bin` message spectrum (data corner axis = pilot_ampl/(2.5*sqrt2))
+    and `constell.bin` (points at ±0.707/±0.236).  BPSK (unit diagonal) is
+    already peak-normalized."""
     if mod_type == 1:
         return np.exp(1j * (np.pi * np.arange(2) + 5 * np.pi / 4))
     side = 1 << (mod_type // 2)
     idx = np.arange(1 << mod_type)
     re = 2.0 / (side - 1) * (idx % side) - 1.0
     im = 2.0 / (side - 1) * (idx >> (mod_type // 2)) - 1.0
-    return re + 1j * im
+    return (re + 1j * im) / np.sqrt(2.0)
 
 
 def bytes_to_symbols(data: np.ndarray, mod_type: int) -> np.ndarray:
@@ -80,15 +86,20 @@ def modulate(data: np.ndarray, mod_type: int) -> np.ndarray:
 
 
 def hard_demod(points: np.ndarray, mod_type: int) -> np.ndarray:
-    """Hard decision (`modulation.cpp:53-87`): clamp to [-1,1], round to grid."""
+    """Hard decision (`modulation.cpp:53-87` semantics): clamp, round to the
+    peak-normalized grid (see ``constellation``).  The reference's own demod
+    rounds on the UNSCALED grid — a latent self-inconsistency that survives
+    QAM4/16 (margins) but would misdecode QAM64+; we round on the true TX
+    grid instead (SURVEY §5.6: do not replicate latent bugs)."""
     if mod_type == 1:
         return (points.real + points.imag > 0).astype(np.uint8)
+    s = 1.0 / np.sqrt(2.0)
     side = 1 << (mod_type // 2)
-    inv_step = (side - 1) / 2.0
-    re = np.clip(points.real, -1.0, 1.0)
-    im = np.clip(points.imag, -1.0, 1.0)
-    ire = ((re + 1.0) * inv_step + 0.5).astype(np.int64)
-    iim = ((im + 1.0) * inv_step + 0.5).astype(np.int64)
+    inv_step = (side - 1) / (2.0 * s)
+    re = np.clip(points.real, -s, s)
+    im = np.clip(points.imag, -s, s)
+    ire = ((re + s) * inv_step + 0.5).astype(np.int64)
+    iim = ((im + s) * inv_step + 0.5).astype(np.int64)
     return (ire | (iim * side)).astype(np.int64)
 
 

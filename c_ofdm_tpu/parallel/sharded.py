@@ -28,7 +28,8 @@ from .mesh import CHANNEL_AXIS, TIME_AXIS
 
 
 def _local_receive(spec: FrameSpec, block: jnp.ndarray, halo: jnp.ndarray,
-                   halo_valid: jnp.ndarray, max_frames: int):
+                   halo_valid: jnp.ndarray, max_frames: int,
+                   sync_mode: str = "gated"):
     """Decode frames starting inside ``block`` [block_len], using ``halo``
     [frame_len] (the right neighbor's head) to complete boundary frames.
 
@@ -41,9 +42,13 @@ def _local_receive(spec: FrameSpec, block: jnp.ndarray, halo: jnp.ndarray,
     cfg = spec.cfg
     block_len = block.shape[-1]
     ext = jnp.concatenate([block, halo], axis=-1)
-    score = streaming.dense_preamble_corr(spec, ext)
-    positions, valid = streaming.extract_hits(
-        spec, score, jnp.asarray(0, jnp.int32), max_frames)
+    if sync_mode == "gated":
+        positions, valid = streaming.gated_hits(
+            spec, ext, jnp.asarray(0, jnp.int32), max_frames)
+    else:
+        score = streaming.dense_preamble_corr(spec, ext)
+        positions, valid = streaming.extract_hits(
+            spec, score, jnp.asarray(0, jnp.int32), max_frames)
     starts = positions - cfg.t2sin_size
     # ownership: the frame's first sample lies in this device's block
     valid = jnp.logical_and(valid,
@@ -53,19 +58,28 @@ def _local_receive(spec: FrameSpec, block: jnp.ndarray, halo: jnp.ndarray,
     valid = jnp.logical_and(valid, jnp.logical_or(halo_valid, fits))
     gather = jnp.clip(jnp.where(valid, starts, 0), 0,
                       ext.shape[-1] - cfg.frame_len)
-    sigs = jax.vmap(lambda s: rxm.extract_sig(spec, ext, s))(gather)
+    if spec.extract_backend == "pallas":
+        # opt-in only here: this call sits under a channel vmap inside
+        # shard_map, and vmapped pallas_call compile cost on the relayed TPU
+        # is unproven (cf. PERF.md pallas_fft finding); the XLA gather stays
+        # the default for the sharded path until measured on a real pod
+        sigs = rxm.extract_sigs_single(spec, ext, gather)
+    else:
+        sigs = jax.vmap(lambda s: rxm.extract_sig(spec, ext, s))(gather)
     res = rxm.demod_sig(spec, sigs)
     diag = res.constellation.real + res.constellation.imag
     return streaming.StreamOut(res.mac_bytes, diag, positions, valid,
                                valid.sum().astype(jnp.int32), res.cfo)
 
 
-def make_sharded_receiver(spec: FrameSpec, mesh, max_frames_per_block: int):
+def make_sharded_receiver(spec: FrameSpec, mesh, max_frames_per_block: int,
+                          sync_mode: str = "gated"):
     """Build a jitted sharded bulk receiver.
 
     Input  captures [n_channel_total, total_len] sharded (channel, time);
     output StreamOut with leading dims [n_channel_total, n_time, max_frames]
-    (positions are block-local; valid masks ownership).
+    (positions are block-local; valid masks ownership).  ``sync_mode`` as in
+    ``streaming.process_buffer`` ("gated" production / "dense" fallback).
     """
 
     def step(captures: jnp.ndarray):
@@ -84,7 +98,8 @@ def make_sharded_receiver(spec: FrameSpec, mesh, max_frames_per_block: int):
             halo_valid = t < n_time - 1
             halo = jnp.where(halo_valid, halo, jnp.zeros_like(halo))
             out = jax.vmap(lambda b, h: _local_receive(
-                spec, b, h, halo_valid, max_frames_per_block))(local, halo)
+                spec, b, h, halo_valid, max_frames_per_block,
+                sync_mode))(local, halo)
             # add the n_time axis back for the global view
             return jax.tree.map(lambda x: x[:, None], out)
 

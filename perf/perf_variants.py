@@ -1,16 +1,25 @@
 """Perf experiments: per-component marginal step time on TPU.
 
 Each variant is one executable (fori_loop trick from bench.py).  Run one
-variant per invocation (each costs a ~4-5 min relay compile):
+variant per invocation (each costs a ~1-5 min relay compile), or the whole
+reproducible stage table in one command:
 
-  python perf_variants.py full|tx|demod|sync|full_matmul|full_pallas
+  python perf/perf_variants.py full|tx|demod|sync|full_matmul|full_pallas
+  python perf/perf_variants.py stages    # the PERF.md stage-breakdown table
+  python perf/perf_variants.py stream    # streaming ring path
 """
 import sys
+
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 from c_ofdm_tpu import ModemConfig, make_frame_spec
 from c_ofdm_tpu.models import rx as rxm, tx as txm
@@ -28,7 +37,9 @@ def make_step(name):
                "full_bf16": "matmul_bf16"}.get(
                    name, os.environ.get("PV_BACKEND", "xla"))
     spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64,
-                           fft_backend=backend)
+                           fft_backend=backend,
+                           extract_backend=os.environ.get("PV_EXTRACT",
+                                                          "auto"))
 
     def tx_only(payload):
         return jnp.abs(txm.transmit(spec, payload)).sum().astype(jnp.uint32)
@@ -91,6 +102,31 @@ def make_step(name):
 
 
 def main(name):
+    per, spec = _measure_variant(name)
+    print(f"{name}: per-step {per*1e3:.3f} ms  "
+          f"({B*spec.cfg.frame_len/per/1e6:.0f} Msamples/s)", flush=True)
+
+
+def main_stages():
+    """Reproducible PERF.md stage table: cumulative-pipeline variants under
+    PV_BACKEND=matmul (the production backend), one compile each."""
+    import os as _os
+    _os.environ.setdefault("PV_BACKEND", "matmul")
+    rows = []
+    for name in ("tx", "sync", "extract", "recover", "odemod", "demap",
+                 "full"):
+        per, spec = _measure_variant(name)
+        rows.append((name, per))
+        print(f"  {name}: {per*1e3:.3f} ms", flush=True)
+    print("\n| variant (cumulative pipeline prefix) | ms/step "
+          f"(B={B}) | Msamples/s |", flush=True)
+    print("|---|---|---|", flush=True)
+    for name, per in rows:
+        print(f"| {name} | {per*1e3:.3f} | "
+              f"{B*spec.cfg.frame_len/per/1e6:.0f} |", flush=True)
+
+
+def _measure_variant(name):
     step, spec = make_step(name)
 
     def run(pool, k):
@@ -115,8 +151,7 @@ def main(name):
 
     t_lo, t_hi = timed(K_LO), timed(K_HI)
     per = (t_hi - t_lo) / (K_HI - K_LO)
-    print(f"{name}: per-step {per*1e3:.3f} ms  "
-          f"({B*spec.cfg.frame_len/per/1e6:.0f} Msamples/s)", flush=True)
+    return per, spec
 
 
 def main_stream():
@@ -170,8 +205,92 @@ def main_stream():
           f"{cfg.rx_buf_size/per:.0f} frames/s)", flush=True)
 
 
+def main_stream_stages(which):
+    """Streaming-path stage isolation on realistic rings (f32-interleaved
+    pools, like bench.py --streaming):
+      sgate  — overlapping-window t2 ratio track only
+      ssync  — gated_hits (gate + candidate MF + dedup/compact)
+      sdemod — frame extraction gathers + batched demod at fixed positions
+      sfull  — full process_buffer (= bench --streaming step)
+    """
+    import bench as benchmod
+    from c_ofdm_tpu.models import streaming
+    from c_ofdm_tpu.ops import sync as syncops
+
+    spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64,
+                           fft_backend="matmul")
+    cfg = spec.cfg
+    S = 4
+    max_frames = cfg.rx_buf_size + 1
+    pools = []
+    for r in range(REPS):
+        rings, n_frames = benchmod._make_rings(spec, S, seed=r)
+        iq = np.stack([rings.real, rings.imag], axis=-1).astype(np.float32)
+        pools.append(jnp.asarray(iq))
+
+    def to_ring(p):
+        blk = p[..., 0] + 1j * p[..., 1]
+        return jnp.concatenate([jnp.zeros((cfg.frame_len,), blk.dtype), blk])
+
+    def sgate(p):
+        return syncops.t2_ratio_track_hop(spec, to_ring(p)).sum()
+
+    def ssync(p):
+        pos, val = streaming.gated_hits(spec, to_ring(p),
+                                        jnp.asarray(0, jnp.int32), max_frames)
+        return pos.sum().astype(jnp.float32) + val.sum()
+
+    def sdemod(p):
+        from c_ofdm_tpu.models import rx as rxm
+        ring = to_ring(p)
+        starts = (jnp.arange(max_frames, dtype=jnp.int32)
+                  * (ring.shape[-1] // max_frames))
+        starts = jnp.clip(starts, 0, ring.shape[-1] - cfg.frame_len)
+        sigs = jax.vmap(lambda s: rxm.extract_sig(spec, ring, s))(starts)
+        res = rxm.demod_sig(spec, sigs)
+        return res.mac_bytes.astype(jnp.float32).sum()
+
+    def sfull(p):
+        st0 = streaming.init_state(spec)
+        _, out = streaming.process_buffer(spec, st0, p, max_frames)
+        return (out.num_found.astype(jnp.float32)
+                + out.mac_bytes.astype(jnp.float32).sum())
+
+    step = {"sgate": sgate, "ssync": ssync, "sdemod": sdemod,
+            "sfull": sfull}[which]
+
+    def run(pool, k):
+        return jax.lax.fori_loop(
+            0, k, lambda i, acc: acc + step(pool[i % S]), jnp.float32(0))
+
+    f = jax.jit(run)
+    t0 = time.perf_counter()
+    float(f(pools[0], 1))
+    print(f"{which}: compile {time.perf_counter()-t0:.0f}s", flush=True)
+
+    def timed(k):
+        return min(_one(f, p, k) for p in pools)
+
+    t_lo, t_hi = timed(K_LO), timed(K_HI)
+    per = (t_hi - t_lo) / (K_HI - K_LO)
+    buf_len = cfg.rx_buf_size * cfg.frame_len
+    print(f"{which}: per-buffer {per*1e3:.3f} ms "
+          f"({buf_len/per/1e6:.0f} Msamples/s)", flush=True)
+
+
+def _one(f, p, k):
+    t0 = time.perf_counter()
+    float(f(p, k))
+    return time.perf_counter() - t0
+
+
 if __name__ == "__main__":
     if sys.argv[1] == "stream":
         main_stream()
+    elif sys.argv[1] == "stages":
+        main_stages()
+    elif sys.argv[1].startswith("s") and sys.argv[1] in (
+            "sgate", "ssync", "sdemod", "sfull"):
+        main_stream_stages(sys.argv[1])
     else:
         main(sys.argv[1])

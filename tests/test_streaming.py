@@ -189,3 +189,47 @@ def test_gated_recall_all_alignments(spec64, cfg):
     starts = pos[:, 0] - cfg.t2sin_size
     for r, off in enumerate(offs):
         assert abs(int(starts[r]) - (3000 + off)) <= 1, (r, off, starts[r])
+
+
+def test_pallas_extract_paths_match_xla(spec64, cfg):
+    """The Pallas window-extract kernels (interpret mode on CPU) must be
+    bit-identical to the vmapped dynamic_slice gathers they replace, in both
+    the per-row and single-ring forms, including clamp-at-edge semantics."""
+    from c_ofdm_tpu.models import rx as rxm
+    from c_ofdm_tpu.models.frame import make_frame_spec
+
+    spec_p = make_frame_spec(cfg, dtype=jnp.complex64,
+                             extract_backend="pallas")
+    spec_x = make_frame_spec(cfg, dtype=jnp.complex64, extract_backend="xla")
+    rng = np.random.default_rng(4)
+    n = 3 * cfg.frame_len
+    B = 5
+    caps = jnp.asarray((rng.standard_normal((B, n))
+                        + 1j * rng.standard_normal((B, n))
+                        ).astype(np.complex64))
+    starts = jnp.asarray([0, 100, cfg.frame_len, 2 * cfg.frame_len,
+                          n - cfg.frame_len], dtype=jnp.int32)
+    a = rxm.extract_sigs_rows(spec_p, caps, starts)
+    b = rxm.extract_sigs_rows(spec_x, caps, starts)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    a1 = rxm.extract_sigs_single(spec_p, caps[0], starts)
+    b1 = rxm.extract_sigs_single(spec_x, caps[0], starts)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(b1))
+
+
+def test_stream_pallas_backend_matches_xla(spec64, cfg):
+    """process_buffer with the Pallas extract backend decodes identically to
+    the XLA gather backend on a multi-frame stream."""
+    from c_ofdm_tpu.models.frame import make_frame_spec
+
+    sig, payloads, mac = _make_stream(spec64, cfg, n_frames=6, gap=911,
+                                      seed=21)
+    outs = {}
+    for eb in ("pallas", "xla"):
+        spec = make_frame_spec(cfg, dtype=jnp.complex64, extract_backend=eb)
+        got = _run_stream(spec, cfg, sig, mac)
+        outs[eb] = got
+    assert len(outs["pallas"]) == 6
+    for (sa, pa, oa), (sb, pb, ob) in zip(outs["pallas"], outs["xla"]):
+        assert sa == sb and oa == ob
+        assert np.array_equal(pa, pb)
