@@ -55,7 +55,10 @@ def build_runner(spec, K):
 
     def step(payload):
         frames = txm.transmit(spec, payload)
-        res, s = jax.vmap(lambda c: rxm.receive_capture(spec, c))(frames)
+        # batch-native RX: scalar sync under vmap, Pallas window extraction,
+        # one fused demod over [B, sig] — 2.83x the fully-vmapped form in a
+        # same-window A/B (perf/batch_ab.py: 0.333 vs 0.943 ms/step)
+        res, s = rxm.receive_batch(spec, frames)
         return (res.mac_bytes.astype(jnp.uint32).sum()
                 + s.found.sum().astype(jnp.uint32))
 

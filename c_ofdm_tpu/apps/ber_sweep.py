@@ -43,7 +43,7 @@ def main(argv=None):
     rows = []
     for mod in mods:
         cfg = ModemConfig(mod_type=mod)
-        spec = make_frame_spec(cfg, dtype=jnp.complex64)
+        spec = make_frame_spec(cfg, dtype=jnp.complex64, fft_backend="matmul")
         rng = np.random.default_rng(mod)
         payload = rng.integers(0, 256, (args.frames, cfg.frame_bytes),
                                dtype=np.uint8)

@@ -55,7 +55,7 @@ def main(argv=None):
     from c_ofdm_tpu.models.streaming import StreamingReceiver
 
     cfg = load_config(args.config) if args.config else ModemConfig()
-    spec = make_frame_spec(cfg, dtype=jnp.complex64)
+    spec = make_frame_spec(cfg, dtype=jnp.complex64, fft_backend="matmul")
     mac = Mac(frame_bytes=cfg.frame_bytes, spread=cfg.mod_type)
     rxr = StreamingReceiver(spec, max_frames=args.max_frames,
                             sync_mode=args.sync_mode)

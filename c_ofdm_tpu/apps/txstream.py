@@ -31,7 +31,7 @@ def main(argv=None):
     from c_ofdm_tpu.models import tx as txm
 
     cfg = load_config(args.config) if args.config else ModemConfig()
-    spec = make_frame_spec(cfg, dtype=jnp.complex64)
+    spec = make_frame_spec(cfg, dtype=jnp.complex64, fft_backend="matmul")
     mac = Mac(frame_bytes=cfg.frame_bytes, spread=cfg.mod_type)
 
     with open(args.inp, "rb") as f:
