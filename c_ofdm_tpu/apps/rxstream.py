@@ -107,23 +107,37 @@ def main(argv=None):
     t_feed = 0.0       # host read + device staging
     t_drain = 0.0      # blocked on device results
 
+    # MAC deframing happens ON DEVICE and only the deframed payload bytes +
+    # f32 metadata come back: the soft metrics are 8x the payload size, and
+    # on a remote accelerator the result channel is the scarce resource
+    # (complex / wide readbacks are also unimplemented on the relayed TPU —
+    # everything below is uint8/f32, both proven transfer types).
+    @jax.jit
+    def decode_out(o):
+        frs = mac.read_soft(o.diag)
+        return (frs.payload,
+                jnp.stack([o.valid.astype(jnp.float32),
+                           frs.valid.astype(jnp.float32),
+                           frs.seq.astype(jnp.float32),
+                           o.positions.astype(jnp.float32),
+                           o.cfo.astype(jnp.float32)], axis=-1))
+
     def materialize(i, out):
         """Force buffer i's results off-device and sink them (runs one
         iteration behind the dispatch, overlapping buffer i+1's compute)."""
         nonlocal n_frames, n_crc_bad, t_drain
         t0 = time.perf_counter()
-        valid, diag, positions, cfo = jax.device_get(
-            (out.valid, out.diag, out.positions, out.cfo))
+        payloads, meta = jax.device_get(decode_out(out))
         t_drain += time.perf_counter() - t0
+        valid = meta[:, 0] > 0.5
         for k in np.nonzero(valid)[0]:
-            fr = mac.read_soft(jnp.asarray(diag[k]))
-            ok = bool(np.asarray(fr.valid))
+            ok = bool(meta[k, 1] > 0.5)
             n_crc_bad += (not ok)
-            out_f.write(np.asarray(fr.payload).tobytes())
+            out_f.write(payloads[k].tobytes())
             if args.metrics:
                 metrics_rows.append({
-                    "buf": i, "slot": int(k), "pos": int(positions[k]),
-                    "seq": int(np.asarray(fr.seq)), "cfo": float(cfo[k]),
+                    "buf": i, "slot": int(k), "pos": int(meta[k, 3]),
+                    "seq": int(meta[k, 2]), "cfo": float(meta[k, 4]),
                     "crc_ok": ok,
                 })
             n_frames += 1
@@ -151,6 +165,7 @@ def main(argv=None):
     prof = (jax.profiler.trace(args.profile) if args.profile
             else contextlib.nullcontext())
     t_wall0 = time.perf_counter()
+    t_steady = None    # set after buffer 0 drains (compile excluded)
     with prof:
         pending = None   # (i, StreamOut) of the buffer still computing
         for i, dev_block in enumerate(staged_blocks()):
@@ -160,12 +175,18 @@ def main(argv=None):
             n_bufs += 1
             if pending is not None:
                 materialize(*pending)       # overlaps buffer i's compute
+                if t_steady is None:
+                    t_steady = time.perf_counter()
             pending = (i, out)
         if pending is not None:
             materialize(*pending)
+            if t_steady is None:
+                t_steady = time.perf_counter()
     wall = time.perf_counter() - t_wall0
     out_f.close()
 
+    steady_bufs = max(n_bufs - 1, 0)
+    steady_wall = max(time.perf_counter() - (t_steady or t_wall0), 1e-9)
     summary = {
         "buffers": n_bufs,
         "frames": n_frames,
@@ -173,6 +194,9 @@ def main(argv=None):
         "wall_s": round(wall, 4),
         "samples_per_s": round(n_bufs * buf_samples / wall, 1),
         "frames_per_s": round(n_frames / wall, 1),
+        # rate excluding the first buffer (which carries jit compilation)
+        "steady_samples_per_s": round(steady_bufs * buf_samples
+                                      / steady_wall, 1),
         "host_feed_s": round(t_feed, 4),
         "device_drain_s": round(t_drain, 4),
         "feed_bound": t_feed > 0.5 * wall,

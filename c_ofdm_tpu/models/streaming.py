@@ -35,7 +35,11 @@ from . import rx as rxm
 
 
 class StreamState(NamedTuple):
-    carry: jnp.ndarray        # [frame_len] tail of the previous ring
+    carry: jnp.ndarray        # [frame_len, 2] re/im f32 tail of the previous
+    #                           ring — interleaved-real on purpose: the state
+    #                           crosses executable boundaries every buffer,
+    #                           and complex buffers cannot cross the host/
+    #                           device boundary on some TPU runtimes (PERF.md)
     carry_valid: jnp.ndarray  # [] bool — false on the very first buffer
     next_min_pos: jnp.ndarray  # [] int32 — first admissible preamble lag in the
     #                              new ring (suppresses re-detecting carried frames)
@@ -52,9 +56,9 @@ class StreamOut(NamedTuple):
 
 
 def init_state(spec: FrameSpec, dtype=None) -> StreamState:
-    dtype = dtype or spec.dtype
+    rdt = jnp.finfo(jnp.dtype(dtype or spec.dtype)).dtype
     return StreamState(
-        carry=jnp.zeros((spec.cfg.frame_len,), dtype=dtype),
+        carry=jnp.zeros((spec.cfg.frame_len, 2), dtype=rdt),
         carry_valid=jnp.asarray(False),
         next_min_pos=jnp.asarray(0, dtype=jnp.int32),
         frames_seen=jnp.asarray(0, dtype=jnp.int32),
@@ -192,9 +196,10 @@ def process_buffer(spec: FrameSpec, state: StreamState, block: jnp.ndarray,
         # is unimplemented on the relayed backend); combine on device
         block = block[..., 0] + 1j * block[..., 1]
     block = block.astype(spec.dtype)
-    carry = jnp.where(state.carry_valid, state.carry,
-                      jnp.zeros_like(state.carry))
-    ring = jnp.concatenate([carry, block])
+    carry_c = (state.carry[..., 0] + 1j * state.carry[..., 1]).astype(
+        spec.dtype)
+    carry_c = jnp.where(state.carry_valid, carry_c, jnp.zeros_like(carry_c))
+    ring = jnp.concatenate([carry_c, block])
     n = ring.shape[-1]
 
     if sync_mode == "gated":
@@ -216,9 +221,12 @@ def process_buffer(spec: FrameSpec, state: StreamState, block: jnp.ndarray,
 
     num_found = valid.sum().astype(jnp.int32)
 
-    # carry the ring tail; next admissible lag maps back by the slide amount
+    # carry the ring tail (stored as re/im planes — see StreamState.carry);
+    # next admissible lag maps back by the slide amount
     slide = n - cfg.frame_len
-    new_carry = ring[slide:]
+    tail = ring[slide:]
+    new_carry = jnp.stack([tail.real, tail.imag], axis=-1).astype(
+        state.carry.dtype)
     # the cursor after the last decoded frame, translated into the next ring
     last_pos = jnp.max(jnp.where(valid, positions, -1))
     cursor_end = jnp.where(num_found > 0, last_pos + cfg.message_len, 0)
