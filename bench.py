@@ -166,7 +166,7 @@ def _make_rings_cpu(spec, n_rings, seed, fill):
 
 
 def bench_streaming(S=4, k_lo=4, k_hi=60, reps=3, rounds=5,
-                    sync_mode="gated"):
+                    sync_mode="gated", channels=1):
     from c_ofdm_tpu import ModemConfig, make_frame_spec
     from c_ofdm_tpu.models import streaming
 
@@ -175,34 +175,39 @@ def bench_streaming(S=4, k_lo=4, k_hi=60, reps=3, rounds=5,
     cfg = spec.cfg
     buf_len = cfg.rx_buf_size * cfg.frame_len
     max_frames = cfg.rx_buf_size + 1
+    C = channels
 
     def run(pool, k):
-        # pool is interleaved f32 [S, buf_len, 2] — the SDR wire format (and
-        # complex device_put is unimplemented on the relayed TPU runtime);
-        # process_buffer forms complex on device
+        # pool is interleaved f32 [S(, C), buf_len, 2] — the SDR wire format
+        # (complex device_put is unimplemented on the relayed TPU runtime);
+        # process_buffer forms complex on device.  channels > 1 exercises the
+        # batch-first multi-channel state (BASELINE config #4+#5 combined).
         def body(i, carry):
             state, acc = carry
             state, out = streaming.process_buffer(spec, state, pool[i % S],
                                                   max_frames, sync_mode)
-            acc = (acc + out.num_found.astype(jnp.uint32)
+            acc = (acc + out.num_found.astype(jnp.uint32).sum()
                    + out.mac_bytes.astype(jnp.uint32).sum())
             return state, acc
-        st0 = streaming.init_state(spec)
+        st0 = streaming.init_state(spec, channels=0 if C == 1 else C)
         return jax.lax.fori_loop(0, k, body, (st0, jnp.uint32(0)))[1]
 
     f = jax.jit(run)
     pools = []
     for r in range(reps):
-        rings, n_frames = _make_rings(spec, S, seed=r)
+        rings, n_frames = _make_rings(spec, S * C, seed=r)
         iq = np.stack([rings.real, rings.imag], axis=-1).astype(np.float32)
+        if C > 1:
+            # each channel gets a contiguous S-buffer time stream
+            iq = iq.reshape(C, S, buf_len, 2).transpose(1, 0, 2, 3).copy()
         pools.append(jnp.asarray(iq))      # to the measured (TPU) device
-    print(f"streaming: {S} rings x {buf_len} samples, ~{n_frames} frames",
-          file=sys.stderr, flush=True)
+    print(f"streaming: {S} steps x {C} channels x {buf_len} samples, "
+          f"~{n_frames} frames", file=sys.stderr, flush=True)
     per_buf = measure(f, pools, k_lo, k_hi, rounds)
-    sps = buf_len / per_buf
+    sps = C * buf_len / per_buf
     fps = (n_frames / S) / per_buf
     print(f"streaming: {sps/1e6:.1f} Msamples/s sustained "
-          f"({per_buf*1e3:.3f} ms/buffer, ~{fps:.0f} frames/s)",
+          f"({per_buf*1e3:.3f} ms/step, ~{fps:.0f} frames/s)",
           file=sys.stderr, flush=True)
     return {
         "metric": "ofdm_streaming_samples_per_s_per_chip",
@@ -218,9 +223,12 @@ def main():
                    help="bench the production streaming ring path")
     p.add_argument("--sync-mode", choices=("gated", "dense"),
                    default="gated", help="streaming sync variant to A/B")
+    p.add_argument("--channels", type=int, default=1,
+                   help="independent channel streams per streaming step "
+                        "(batch-first multi-channel state)")
     args = p.parse_args()
-    out = (bench_streaming(sync_mode=args.sync_mode) if args.streaming
-           else bench_batch())
+    out = (bench_streaming(sync_mode=args.sync_mode, channels=args.channels)
+           if args.streaming else bench_batch())
     print(json.dumps(out))
 
 

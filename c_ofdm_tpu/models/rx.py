@@ -149,6 +149,24 @@ def extract_sigs_single(spec: FrameSpec, capture: jnp.ndarray,
     return jax.vmap(lambda s: extract_sig(spec, capture, s))(frame_starts)
 
 
+def extract_sigs_ring(spec: FrameSpec, ring: jnp.ndarray,
+                      frame_starts: jnp.ndarray) -> jnp.ndarray:
+    """Streaming-ring gather with an optional channel axis:
+    ring [n] + starts [K] -> [K, sig], or ring [C, n] + starts [C, K] ->
+    [C, K, sig]."""
+    if ring.ndim == 1:
+        return extract_sigs_single(spec, ring, frame_starts)
+    cfg = spec.cfg
+    ln = cfg.preamble_len + cfg.message_len
+    if _pallas_extract_ok(spec):
+        from ..ops import pallas_extract
+        starts = jnp.clip(frame_starts + cfg.t2sin_size, 0,
+                          ring.shape[-1] - ln).astype(jnp.int32)
+        return pallas_extract.extract_windows_multi(ring, starts, ln)
+    return jax.vmap(lambda r, s: jax.vmap(
+        lambda ss: extract_sig(spec, r, ss))(s))(ring, frame_starts)
+
+
 def receive_capture(spec: FrameSpec, capture: jnp.ndarray,
                     estimator: str = "lq"):
     """Full single-frame RX on one capture [n]: sync + demod.

@@ -55,13 +55,17 @@ class StreamOut(NamedTuple):
     cfo: jnp.ndarray          # [max_frames]
 
 
-def init_state(spec: FrameSpec, dtype=None) -> StreamState:
+def init_state(spec: FrameSpec, dtype=None, channels: int = 0) -> StreamState:
+    """``channels`` 0 = a single stream (scalar state); C > 0 = C independent
+    channel streams processed batch-first per buffer (leading axis [C] on
+    every state field and on the blocks fed to ``process_buffer``)."""
     rdt = jnp.finfo(jnp.dtype(dtype or spec.dtype)).dtype
+    lead = (channels,) if channels else ()
     return StreamState(
-        carry=jnp.zeros((spec.cfg.frame_len, 2), dtype=rdt),
-        carry_valid=jnp.asarray(False),
-        next_min_pos=jnp.asarray(0, dtype=jnp.int32),
-        frames_seen=jnp.asarray(0, dtype=jnp.int32),
+        carry=jnp.zeros((*lead, spec.cfg.frame_len, 2), dtype=rdt),
+        carry_valid=jnp.zeros(lead, dtype=bool),
+        next_min_pos=jnp.zeros(lead, dtype=jnp.int32),
+        frames_seen=jnp.zeros(lead, dtype=jnp.int32),
     )
 
 
@@ -132,31 +136,41 @@ def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
     the reference's +1 quirk — the same contract as ``extract_hits``.
     """
     cfg = spec.cfg
+    lead = ring.shape[:-1]            # () or [C] — channel-batched rings
     n = ring.shape[-1]
     hop = cfg.t2sin_size // 2
     L = cfg.pr_sin_len
     G = 768                      # searched lags per candidate (see docstring)
     K = max_frames + 4           # candidate slack for spurious gate edges
 
-    track = sync.t2_ratio_track_hop(spec, ring)            # [nwin]
+    def first_ge(rank, targets):
+        # first index along the last axis where the nondecreasing ``rank``
+        # reaches each target (== count of entries below it) — the batch-
+        # friendly searchsorted
+        return (rank[..., None, :] < targets[..., :, None]).sum(-1)
+
+    track = sync.t2_ratio_track_hop(spec, ring)            # [..., nwin]
     hot = track > cfg.t2_gate_level
-    prev = jnp.concatenate([jnp.zeros((1,), bool), hot[:-1]])
+    prev = jnp.concatenate([jnp.zeros((*lead, 1), bool), hot[..., :-1]],
+                           axis=-1)
     edges = jnp.logical_and(hot, jnp.logical_not(prev))
-    rank = jnp.cumsum(edges.astype(jnp.int32))
-    cand_w = jnp.searchsorted(rank, jnp.arange(1, K + 1, dtype=jnp.int32))
-    cand_valid = cand_w < rank.shape[0]
+    rank = jnp.cumsum(edges.astype(jnp.int32), axis=-1)
+    cand_w = first_ge(rank, jnp.broadcast_to(
+        jnp.arange(1, K + 1, dtype=jnp.int32), (*lead, K)))
+    cand_valid = cand_w < rank.shape[-1]
     cand_w = jnp.where(cand_valid, cand_w, 0)
-    start = jnp.maximum(cand_w * hop - hop, 0)             # 128-aligned
+    start = jnp.maximum(cand_w * hop - hop, 0)             # [..., K], aligned
 
     regions = jax.vmap(lambda s: sync.aligned_window(
-        ring, s, G + L, hop))(start)                       # [K, G+L]
+        ring, s, G + L, hop), in_axes=-1, out_axes=-2)(start)  # [..., K, G+L]
     scores = sync.matched_filter_scores(spec, regions)[..., :G]
 
-    lags = start[:, None] + jnp.arange(G, dtype=jnp.int32)
+    lags = start[..., None] + jnp.arange(G, dtype=jnp.int32)
     last_ok = n - cfg.frame_len + cfg.t2sin_size - 1
-    ok_lag = jnp.logical_and(lags >= jnp.maximum(min_pos, 0),
+    min_lag = jnp.maximum(jnp.asarray(min_pos, jnp.int32), 0)
+    ok_lag = jnp.logical_and(lags >= min_lag[..., None, None],
                              lags <= last_ok)
-    scores = jnp.where(jnp.logical_and(ok_lag, cand_valid[:, None]),
+    scores = jnp.where(jnp.logical_and(ok_lag, cand_valid[..., None]),
                        scores, 0.0)
     rel, found = sync.first_above(scores, cfg.pr_level)
     pr = jnp.where(found, start + rel + 1, -1).astype(jnp.int32)  # +1 quirk
@@ -166,46 +180,59 @@ def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
         p, f = x
         ok = jnp.logical_and(f, p >= cursor)
         return jnp.where(ok, p + cfg.message_len, cursor), ok
-    _, accept = jax.lax.scan(dedup, jnp.asarray(0, jnp.int32), (pr, found))
+    _, accept = jax.lax.scan(
+        dedup, jnp.zeros(lead, jnp.int32),
+        (jnp.moveaxis(pr, -1, 0), jnp.moveaxis(found, -1, 0)))
+    accept = jnp.moveaxis(accept, 0, -1)                   # [..., K]
 
-    arank = jnp.cumsum(accept.astype(jnp.int32))
-    slot = jnp.searchsorted(arank, jnp.arange(1, max_frames + 1,
-                                              dtype=jnp.int32))
+    arank = jnp.cumsum(accept.astype(jnp.int32), axis=-1)
+    slot = first_ge(arank, jnp.broadcast_to(
+        jnp.arange(1, max_frames + 1, dtype=jnp.int32), (*lead, max_frames)))
     svalid = slot < K
     slot = jnp.where(svalid, slot, 0)
-    positions = jnp.where(svalid, pr[slot], -1).astype(jnp.int32)
+    positions = jnp.where(svalid, jnp.take_along_axis(pr, slot, axis=-1),
+                          -1).astype(jnp.int32)
     return positions, svalid
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def process_buffer(spec: FrameSpec, state: StreamState, block: jnp.ndarray,
                    max_frames: int = 0, sync_mode: str = "gated"):
-    """Consume one ingest buffer [rx_buf_size * frame_len] of IQ; return
-    (new_state, StreamOut) with up to ``max_frames`` decoded frames.
+    """Consume one ingest buffer of IQ; return (new_state, StreamOut) with up
+    to ``max_frames`` decoded frames.
+
+    ``block`` is [..., rx_buf_size * frame_len] complex or [..., n, 2]
+    interleaved re/im floats (the SDR wire format, and the only layout the
+    host can stage on some TPU runtimes); an optional leading axis carries
+    independent channel streams, processed batch-first in one fused step
+    (state fields then carry the same leading axis — see ``init_state``).
 
     The ring is [carry | block] (`rx.cpp:73-91` double-buffer update with the
     one-frame carry in front).  ``sync_mode`` "gated" (default, production)
     gates the matched filter on the two-tone track like the reference;
-    "dense" correlates every ring lag (detector-independent fallback).
+    "dense" correlates every ring lag (detector-independent fallback,
+    single-channel only).
     """
     cfg = spec.cfg
     max_frames = max_frames or (cfg.rx_buf_size + 1)
     if not jnp.issubdtype(block.dtype, jnp.complexfloating):
-        # interleaved re/im floats [n, 2] — the SDR wire format, and the only
-        # layout the host can stage on some TPU runtimes (complex device_put
-        # is unimplemented on the relayed backend); combine on device
         block = block[..., 0] + 1j * block[..., 1]
     block = block.astype(spec.dtype)
+    lead = block.shape[:-1]
     carry_c = (state.carry[..., 0] + 1j * state.carry[..., 1]).astype(
         spec.dtype)
-    carry_c = jnp.where(state.carry_valid, carry_c, jnp.zeros_like(carry_c))
-    ring = jnp.concatenate([carry_c, block])
+    carry_c = jnp.where(state.carry_valid[..., None], carry_c,
+                        jnp.zeros_like(carry_c))
+    ring = jnp.concatenate([carry_c, block], axis=-1)
     n = ring.shape[-1]
 
     if sync_mode == "gated":
         positions, valid = gated_hits(spec, ring, state.next_min_pos,
                                       max_frames)
     else:
+        if lead:
+            raise NotImplementedError(
+                "dense sync_mode is single-channel only")
         score = dense_preamble_corr(spec, ring)
         positions, valid = extract_hits(spec, score, state.next_min_pos,
                                         max_frames)
@@ -215,26 +242,26 @@ def process_buffer(spec: FrameSpec, state: StreamState, block: jnp.ndarray,
     starts = jnp.where(valid, positions - cfg.t2sin_size, 0).astype(jnp.int32)
     starts = jnp.clip(starts, 0, n - cfg.frame_len)
 
-    sigs = rxm.extract_sigs_single(spec, ring, starts)
+    sigs = rxm.extract_sigs_ring(spec, ring, starts)
     res = rxm.demod_sig(spec, sigs)
     diag = res.constellation.real + res.constellation.imag
 
-    num_found = valid.sum().astype(jnp.int32)
+    num_found = valid.sum(-1).astype(jnp.int32)            # [...]
 
     # carry the ring tail (stored as re/im planes — see StreamState.carry);
     # next admissible lag maps back by the slide amount
     slide = n - cfg.frame_len
-    tail = ring[slide:]
+    tail = ring[..., slide:]
     new_carry = jnp.stack([tail.real, tail.imag], axis=-1).astype(
         state.carry.dtype)
     # the cursor after the last decoded frame, translated into the next ring
-    last_pos = jnp.max(jnp.where(valid, positions, -1))
+    last_pos = jnp.max(jnp.where(valid, positions, -1), axis=-1)
     cursor_end = jnp.where(num_found > 0, last_pos + cfg.message_len, 0)
     next_min = jnp.maximum(cursor_end - slide, 0).astype(jnp.int32)
 
     new_state = StreamState(
         carry=new_carry,
-        carry_valid=jnp.asarray(True),
+        carry_valid=jnp.broadcast_to(jnp.asarray(True), lead),
         next_min_pos=next_min,
         frames_seen=state.frames_seen + num_found,
     )

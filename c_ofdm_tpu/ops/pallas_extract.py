@@ -129,6 +129,58 @@ def _extract_single_call(xr, xi, starts, win: int, interpret: bool):
     return out[0][:K], out[1][:K]
 
 
+def _multi_kernel(st_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, win: int,
+                  K_pad: int):
+    """K windows out of EACH of C capture rows: grid (C, K_pad/_ROWS); block
+    c supplies the row, block i the window batch (the multi-channel
+    streaming-ring case)."""
+    c = pl.program_id(0)
+    base = pl.program_id(1) * _ROWS
+    for r in range(_ROWS):
+        s = st_ref[c * K_pad + base + r]
+        q = pl.multiple_of((s // 128) * 128, 128)
+        rem = s - q
+        shift = (win + 128) - rem
+        for ref, out in ((xr_ref, yr_ref), (xi_ref, yi_ref)):
+            chunk = ref[0:1, pl.ds(q, win + 128)]
+            out[0, r: r + 1, :] = pltpu.roll(chunk, shift, axis=1)[:, :win]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _extract_multi_call(xr, xi, starts, win: int, interpret: bool):
+    C, n = xr.shape
+    K = starts.shape[-1]
+    pad = (-K) % _ROWS
+    K_pad = K + pad
+    xr = jnp.pad(xr, [(0, 0), (0, 128)])
+    xi = jnp.pad(xi, [(0, 0), (0, 128)])
+    if pad:
+        starts = jnp.pad(starts, [(0, 0), (0, pad)])
+    nb = K_pad // _ROWS
+    kern = functools.partial(_multi_kernel, win=win, K_pad=K_pad)
+    out = pl.pallas_call(
+        kern,
+        grid=(C, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n + 128), lambda c, i: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n + 128), lambda c, i: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _ROWS, win), lambda c, i: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ROWS, win), lambda c, i: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((C, K_pad, win), jnp.float32),
+                   jax.ShapeDtypeStruct((C, K_pad, win), jnp.float32)],
+        interpret=interpret,
+    )(starts.reshape(-1).astype(jnp.int32), xr, xi)
+    return out[0][:, :K], out[1][:, :K]
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
@@ -154,6 +206,17 @@ def extract_windows_single(capture: jnp.ndarray, starts: jnp.ndarray,
     xr = capture.real.astype(jnp.float32)
     xi = capture.imag.astype(jnp.float32)
     yr, yi = _extract_single_call(xr, xi, starts, win, not _on_tpu())
+    return (yr + 1j * yi).astype(jnp.complex64)
+
+
+def extract_windows_multi(captures: jnp.ndarray, starts: jnp.ndarray,
+                          win: int) -> jnp.ndarray:
+    """captures [C, n] complex64, starts [C, K] int32 (pre-clamped) ->
+    windows [C, K, win] complex64 — K windows out of EACH of C rings (the
+    multi-channel streaming case)."""
+    xr = captures.real.astype(jnp.float32)
+    xi = captures.imag.astype(jnp.float32)
+    yr, yi = _extract_multi_call(xr, xi, starts, win, not _on_tpu())
     return (yr + 1j * yi).astype(jnp.complex64)
 
 

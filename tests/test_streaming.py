@@ -215,6 +215,11 @@ def test_pallas_extract_paths_match_xla(spec64, cfg):
     a1 = rxm.extract_sigs_single(spec_p, caps[0], starts)
     b1 = rxm.extract_sigs_single(spec_x, caps[0], starts)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(b1))
+    # multi-channel ring form: [C, n] rings x [C, K] starts
+    st2 = jnp.stack([starts, starts[::-1]])
+    a2 = rxm.extract_sigs_ring(spec_p, caps[:2], st2)
+    b2 = rxm.extract_sigs_ring(spec_x, caps[:2], st2)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
 
 
 def test_stream_pallas_backend_matches_xla(spec64, cfg):
@@ -233,3 +238,61 @@ def test_stream_pallas_backend_matches_xla(spec64, cfg):
     for (sa, pa, oa), (sb, pb, ob) in zip(outs["pallas"], outs["xla"]):
         assert sa == sb and oa == ob
         assert np.array_equal(pa, pb)
+
+
+def test_multichannel_process_buffer_matches_per_channel(spec64, cfg):
+    """Batch-first multi-channel streaming (leading [C] axis on blocks and
+    state) must decode exactly what C independent single-channel receivers
+    decode, including carry state across buffers."""
+    C = 3
+    streams, payload_sets, mac = [], [], None
+    for c in range(C):
+        sig, payloads, mac = _make_stream(spec64, cfg, n_frames=6,
+                                          gap=503 + 97 * c, seed=30 + c,
+                                          cfo=(c - 1) * 1e-4,
+                                          lead=900 + 411 * c)
+        streams.append(sig)
+        payload_sets.append(payloads)
+    buf_len = cfg.rx_buf_size * cfg.frame_len
+    n_bufs = 2
+    total = n_bufs * buf_len
+    blocks = np.zeros((C, total), dtype=np.complex64)
+    for c, sig in enumerate(streams):
+        blocks[c, :sig.size] = sig[:total]
+
+    # multi-channel: one fused step per buffer over [C, buf_len]
+    state = streaming.init_state(spec64, channels=C)
+    multi = [[] for _ in range(C)]
+    for b in range(n_bufs):
+        state, out = streaming.process_buffer(
+            spec64, state, jnp.asarray(blocks[:, b * buf_len:(b + 1) * buf_len]),
+            8)
+        for c in range(C):
+            for k in np.nonzero(np.asarray(out.valid[c]))[0]:
+                fr = mac.read_soft(out.diag[c, k])
+                multi[c].append((int(np.asarray(fr.seq)),
+                                 np.asarray(fr.payload),
+                                 bool(np.asarray(fr.valid)),
+                                 int(np.asarray(out.positions)[c, k])))
+
+    # reference: C separate single-channel receivers
+    for c in range(C):
+        single = []
+        st = streaming.init_state(spec64)
+        for b in range(n_bufs):
+            st, out = streaming.process_buffer(
+                spec64, st, jnp.asarray(blocks[c, b * buf_len:(b + 1) * buf_len]),
+                8)
+            for k in np.nonzero(np.asarray(out.valid))[0]:
+                fr = mac.read_soft(out.diag[k])
+                single.append((int(np.asarray(fr.seq)),
+                               np.asarray(fr.payload),
+                               bool(np.asarray(fr.valid)),
+                               int(np.asarray(out.positions)[k])))
+        assert len(multi[c]) == len(single) == 6, (c, len(multi[c]), len(single))
+        for (sa, pa, oa, qa), (sb, pb, ob, qb) in zip(multi[c], single):
+            assert sa == sb and oa == ob and qa == qb
+            assert np.array_equal(pa, pb)
+        for i, (seq, pl, ok, _) in enumerate(single):
+            assert seq == i and ok
+            assert np.array_equal(pl, payload_sets[c][i])
