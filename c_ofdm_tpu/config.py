@@ -83,6 +83,11 @@ class ModemConfig:
             raise ValueError("pr_sin_len must fit inside one OFDM symbol")
         if (self.num_data_subc * self.num_symb * self.mod_type) % 8:
             raise ValueError("frame payload must be a whole number of bytes")
+        if not 0.0 < self.t2_gate_level <= self.t2_sin_level:
+            raise ValueError(
+                f"t2_gate_level ({self.t2_gate_level}) must be in "
+                f"(0, t2_sin_level={self.t2_sin_level}] — the gate is a "
+                f"relaxed pre-filter for the matched filter")
 
     # ---- derived geometry (reference: OFDM/Frame.cpp:4-29,157-232) ----
 
