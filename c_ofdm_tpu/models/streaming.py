@@ -3,15 +3,24 @@
 Reference counterpart: the real-time RX loop (`rx.cpp:94-237`) — a serial
 pointer walk over a 41-frame ring with carry-over memcpy and early-exit scans.
 The TPU formulation keeps its *semantics* (one-frame overlap-save carry, each
-frame decoded exactly once, in order) but restructures the work:
+frame decoded exactly once, in order) but restructures the work.  Production
+path (``sync_mode="gated"``, measured 16.7x the dense fallback — PERF.md):
 
-1. dense normalized matched-filter correlation over the whole ring at every
-   lag (FFT overlap-save — one large batched FFT instead of 246k serial dots);
-2. greedy hit extraction under the reference's advance rule (next preamble at
-   least ``message_len`` past the previous — `rx.cpp:198`), as a fixed-trip
-   ``fori_loop`` over the frame capacity;
-3. gather up to ``max_frames`` frame windows with dynamic slices, batch-demod
-   them in one fused pipeline, mask the invalid tail.
+1. overlapping-window two-tone energy track over the whole ring (skinny
+   partial-DFT matmuls), gating ~41 candidate regions — the reference's
+   cheap-detect-then-correlate order (`rx.cpp:133,158`);
+2. banded-Toeplitz MXU matched filter over each candidate's ~768 lags, the
+   advance rule (next preamble at least ``message_len`` past the previous,
+   `rx.cpp:198`) as a scalar scan, cumsum-rank compaction into fixed slots;
+3. gather up to ``max_frames`` frame windows (Pallas VMEM window kernel on
+   TPU), batch-demod them in one fused pipeline, mask the invalid tail.
+
+The dense fallback (``sync_mode="dense"``) instead matched-filters every ring
+lag and walks hits with a fixed-trip ``fori_loop`` (``extract_hits``) —
+detector-independent, kept for parity testing.
+
+Everything is batch-first: blocks and state may carry a leading [C] axis for
+C independent channel streams demodulated in one fused step per buffer.
 
 State between calls is a small pytree: the carry-over halo (one frame length,
 `rx.cpp:147-156`) plus scalar cursors — exactly the resumable state the
@@ -47,6 +56,7 @@ class StreamState(NamedTuple):
 
 
 class StreamOut(NamedTuple):
+    # all fields gain a leading [C] axis under multi-channel operation
     mac_bytes: jnp.ndarray    # [max_frames, frame_bytes] uint8
     diag: jnp.ndarray         # [max_frames, nsym*ndata] re+im soft metric
     positions: jnp.ndarray    # [max_frames] preamble positions in this ring
