@@ -166,7 +166,7 @@ def _make_rings_cpu(spec, n_rings, seed, fill):
 
 
 def bench_streaming(S=4, k_lo=4, k_hi=60, reps=3, rounds=5,
-                    sync_mode="gated", channels=1):
+                    sync_mode="gated", channels=1, metric=None):
     from c_ofdm_tpu import ModemConfig, make_frame_spec
     from c_ofdm_tpu.models import streaming
 
@@ -210,7 +210,7 @@ def bench_streaming(S=4, k_lo=4, k_hi=60, reps=3, rounds=5,
           f"({per_buf*1e3:.3f} ms/step, ~{fps:.0f} frames/s)",
           file=sys.stderr, flush=True)
     return {
-        "metric": "ofdm_streaming_samples_per_s_per_chip",
+        "metric": metric or "ofdm_streaming_samples_per_s_per_chip",
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_S, 3),
@@ -220,16 +220,31 @@ def bench_streaming(S=4, k_lo=4, k_hi=60, reps=3, rounds=5,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--streaming", action="store_true",
-                   help="bench the production streaming ring path")
+                   help="bench ONLY the production streaming ring path")
+    p.add_argument("--batch", action="store_true",
+                   help="bench ONLY the batch path")
     p.add_argument("--sync-mode", choices=("gated", "dense"),
                    default="gated", help="streaming sync variant to A/B")
     p.add_argument("--channels", type=int, default=1,
                    help="independent channel streams per streaming step "
                         "(batch-first multi-channel state)")
     args = p.parse_args()
-    out = (bench_streaming(sync_mode=args.sync_mode, channels=args.channels)
-           if args.streaming else bench_batch())
-    print(json.dumps(out))
+    if args.streaming:
+        print(json.dumps(bench_streaming(sync_mode=args.sync_mode,
+                                         channels=args.channels)))
+        return
+    if args.batch:
+        print(json.dumps(bench_batch()))
+        return
+    # default (the driver command): every official metric, one JSON line
+    # each, flagship batch number LAST (the driver parses the tail line).
+    # Streaming = the reference's real workload (rx.cpp:94-237): 41-frame
+    # rings, random frame offsets in noise+CFO, gated sync, carry threading.
+    print(json.dumps(bench_streaming(rounds=3)), flush=True)
+    print(json.dumps(bench_streaming(
+        channels=8, k_hi=30, rounds=3,
+        metric="ofdm_streaming_8ch_samples_per_s_per_chip")), flush=True)
+    print(json.dumps(bench_batch()), flush=True)
 
 
 if __name__ == "__main__":

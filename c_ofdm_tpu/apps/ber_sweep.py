@@ -6,7 +6,13 @@ against AWGN+CFO with the deterministic simulator, batch-first on device.
 
 Usage:
   python -m c_ofdm_tpu.apps.ber_sweep [--mods 2,4,6] [--snrs 5:30:5]
-      [--frames 32] [--cfo 1e-4] [--out ber.jsonl] [--png ber.png]
+      [--frames 32] [--cfo 1e-4] [--out ber.jsonl] [--png ber.png] [--soft]
+
+``--soft`` sweeps the MAC's bit-repetition scheme instead of raw PHY bytes,
+comparing the hard majority vote (``Mac.read_bytes``) against max-log LLR
+soft combining (``ops.modulation.soft_llrs`` + ``Mac.read_llr``) — the
+soft-decision capability the hard-decision-only reference lacks
+(`OFDM/modulation.cpp:53-87`).
 """
 
 from __future__ import annotations
@@ -28,6 +34,9 @@ def main(argv=None):
     p.add_argument("--cfo", type=float, default=1e-4)
     p.add_argument("--out", default="")
     p.add_argument("--png", default="")
+    p.add_argument("--soft", action="store_true",
+                   help="sweep MAC-spread logical BER: hard majority vote "
+                        "vs soft LLR combining")
     args = p.parse_args(argv)
 
     from c_ofdm_tpu import ModemConfig, make_frame_spec
@@ -45,20 +54,44 @@ def main(argv=None):
         cfg = ModemConfig(mod_type=mod)
         spec = make_frame_spec(cfg, dtype=jnp.complex64, fft_backend="matmul")
         rng = np.random.default_rng(mod)
-        payload = rng.integers(0, 256, (args.frames, cfg.frame_bytes),
-                               dtype=np.uint8)
-        frames = txm.transmit(spec, jnp.asarray(payload))
+        if args.soft:
+            from c_ofdm_tpu.mac.mac import Mac
+            from c_ofdm_tpu.ops import modulation
+            mac = Mac(frame_bytes=cfg.frame_bytes, spread=mod)
+            payload = rng.integers(0, 256, (args.frames, mac.payload),
+                                   dtype=np.uint8)
+            wire = mac.write(jnp.asarray(payload),
+                             jnp.arange(args.frames, dtype=jnp.uint32))
+            frames = txm.transmit(spec, wire)
+        else:
+            payload = rng.integers(0, 256, (args.frames, cfg.frame_bytes),
+                                   dtype=np.uint8)
+            frames = txm.transmit(spec, jnp.asarray(payload))
         for snr in snrs:
             params = ChannelParams(snr_db=float(snr), cfo=args.cfo,
                                    amplitude=1.0)
             cap = apply_channel(params, jax.random.PRNGKey(int(snr * 10)),
                                 frames)
             res = rxm.demod_frames_jit(spec, cap)
-            m = link_metrics(res.constellation, mod,
-                             ref_bytes=payload,
-                             decoded_bytes=np.asarray(res.mac_bytes))
-            row = {"mod_type": mod, "snr_db": float(snr), **
-                   {k: round(v, 6) for k, v in m.items()}}
+            if args.soft:
+                hard = mac.read_bytes(res.mac_bytes)
+                llrs = modulation.soft_llrs(res.constellation, mod)
+                soft = mac.read_llr(llrs)
+                bits = lambda x: np.unpackbits(  # noqa: E731
+                    np.asarray(x) ^ payload, axis=-1)
+                row = {"mod_type": mod, "snr_db": float(snr),
+                       "ber_hard": round(float(bits(hard.payload).mean()), 6),
+                       "ber_soft": round(float(bits(soft.payload).mean()), 6),
+                       "fer_hard": round(float(
+                           1 - np.asarray(hard.valid).mean()), 6),
+                       "fer_soft": round(float(
+                           1 - np.asarray(soft.valid).mean()), 6)}
+            else:
+                m = link_metrics(res.constellation, mod,
+                                 ref_bytes=payload,
+                                 decoded_bytes=np.asarray(res.mac_bytes))
+                row = {"mod_type": mod, "snr_db": float(snr), **
+                       {k: round(v, 6) for k, v in m.items()}}
             rows.append(row)
             print(json.dumps(row), flush=True)
 
@@ -72,9 +105,16 @@ def main(argv=None):
         import matplotlib.pyplot as plt
         fig, ax = plt.subplots(figsize=(7, 5))
         for mod in mods:
-            pts = [(r["snr_db"], max(r["ber"], 1e-7))
-                   for r in rows if r["mod_type"] == mod]
-            ax.semilogy(*zip(*pts), "o-", label=f"QAM{1 << mod}" if mod > 1 else "BPSK")
+            name = f"QAM{1 << mod}" if mod > 1 else "BPSK"
+            if args.soft:
+                for key, style in (("ber_hard", "o--"), ("ber_soft", "s-")):
+                    pts = [(r["snr_db"], max(r[key], 1e-7))
+                           for r in rows if r["mod_type"] == mod]
+                    ax.semilogy(*zip(*pts), style, label=f"{name} {key[4:]}")
+            else:
+                pts = [(r["snr_db"], max(r["ber"], 1e-7))
+                       for r in rows if r["mod_type"] == mod]
+                ax.semilogy(*zip(*pts), "o-", label=name)
         ax.set_xlabel("SNR (dB)")
         ax.set_ylabel("BER")
         ax.grid(True, which="both", alpha=0.3)

@@ -49,12 +49,25 @@ class ModemConfig:
     cfo_outlier_bins: int = 6    # coarse-CFO per-window outlier rejection
     #                              tolerance (spectrum bins); 0 = exact
     #                              reference mean-of-argmax semantics
-    t2_gate_level: float = 0.4   # streaming sync gate: relaxed detect-ratio
+    t2_gate_level: float = None  # streaming sync gate: relaxed detect-ratio
     #                              threshold for the overlapping-window t2
     #                              track that gates the matched filter (the
     #                              confirm threshold stays pr_level); must sit
     #                              below t2_sin_level to cover window-burst
-    #                              misalignment (worst case ~3/4 overlap)
+    #                              misalignment (worst case ~3/4 overlap).
+    #                              None (default) tracks the detect threshold:
+    #                              min(0.4, t2_sin_level / 2) — so low-SNR
+    #                              configs (T2_sin_level < 400) stay valid
+    #                              without a file key, and the gate is always
+    #                              a true relaxation of the detect level.
+    t2_gate_slack: int = 8       # extra gate-edge candidates beyond
+    #                              max_frames in the gated streaming sync:
+    #                              spurious rising edges (interference, noise
+    #                              near t2_gate_level) occupy candidate slots;
+    #                              more than this many between real frames
+    #                              would evict real candidates.  Each unit
+    #                              costs one extra ~G-lag matched-filter
+    #                              region per buffer (cheap).
 
     # --- radio / staging (kept for config-file compatibility; no radio on TPU) ---
     bw_hz: int = 10_000_000
@@ -68,6 +81,9 @@ class ModemConfig:
     iterations: int = 10_000
 
     def __post_init__(self):
+        if self.t2_gate_level is None:
+            object.__setattr__(self, "t2_gate_level",
+                               min(0.4, self.t2_sin_level / 2))
         if self.num_data_subc % self.num_pilot_subc:
             raise ValueError(
                 f"num_data_subc ({self.num_data_subc}) must be divisible by "
@@ -142,6 +158,19 @@ class ModemConfig:
     def num_t2_blocks_ring(self) -> int:
         return self.ring_len // self.t2sin_size
 
+    @property
+    def gated_search_lags(self) -> int:
+        """Matched-filter lags searched per gate candidate in the gated
+        streaming sync (models/streaming.gated_hits).  The candidate region
+        starts one hop (= t2sin_size/2) before the first hot window, and the
+        first hot window starts within +-hop of the burst start, so the
+        preamble lag (burst start + t2sin_size) lies within
+        [t2sin_size - ... , 2*t2sin_size] of the region start; the extra
+        hop + pr_sin_len is coverage margin.  Rounded up to the 128-lane
+        width.  (= 768 at the reference geometry.)"""
+        raw = 2 * self.t2sin_size + self.t2sin_size // 2 + self.pr_sin_len
+        return -(-raw // 128) * 128
+
     def to_dict(self) -> Dict[str, int]:
         """Reference-file representation (x1000 fixed point where applicable)."""
         return {
@@ -158,6 +187,8 @@ class ModemConfig:
             "T2_sin_f1": self.t2_sin_f1,
             "T2_sin_f2": self.t2_sin_f2,
             "T2_sin_level": round(self.t2_sin_level * 1000),
+            "T2_gate_level": round(self.t2_gate_level * 1000),
+            "T2_gate_slack": self.t2_gate_slack,
             "smooth": self.smooth,
             "modType": self.mod_type,
             "pilot_ampl": round(self.pilot_ampl * 1000),
@@ -185,6 +216,7 @@ _KEY_MAP = {
     "T2sin_size": "t2sin_size",
     "T2_sin_f1": "t2_sin_f1",
     "T2_sin_f2": "t2_sin_f2",
+    "T2_gate_slack": "t2_gate_slack",
     "smooth": "smooth",
     "modType": "mod_type",
     "bw_hz": "bw_hz",
@@ -198,6 +230,7 @@ _KEY_MAP = {
     "iterations": "iterations",
 }
 _FIXED_POINT_KEYS = {"pr_level": "pr_level", "T2_sin_level": "t2_sin_level",
+                     "T2_gate_level": "t2_gate_level",
                      "pilot_ampl": "pilot_ampl"}
 
 

@@ -149,6 +149,20 @@ class Mac:
         logical = bitops.pack_bits(bits)
         return self._parse(logical)
 
+    def read_llr(self, llrs: jnp.ndarray) -> MacFrame:
+        """Soft-combining path: max-log LLRs (``ops.modulation.soft_llrs``,
+        [..., nsym, bits_per_sym]) -> each logical bit's ``spread`` wire
+        copies' LLRs summed -> sign decision.  Optimal for the repetition
+        scheme (vs the hard majority vote of ``read_bytes``, which discards
+        per-copy confidence); measured ~1.5 dB at spread 4 on QAM16
+        (tests/test_mac_channel.py, apps/ber_sweep --soft).  Positive LLR
+        favors bit 0 (soft_llrs convention)."""
+        lead = llrs.shape[:-2]
+        wire = llrs.reshape(*lead, -1)              # wire-bit LLRs, in order
+        groups = wire.reshape(*lead, -1, self.spread).sum(-1)
+        bits = (groups < 0).astype(jnp.uint8)
+        return self._parse(bitops.pack_bits(bits))
+
     def _parse(self, logical: jnp.ndarray) -> MacFrame:
         tx = logical[..., 0]
         rx = logical[..., 1]

@@ -124,14 +124,20 @@ def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
     """Two-tone-gated sync: the reference's cheap-detect-then-correlate order
     (`rx.cpp:133,158`), reshaped for the TPU.
 
-    1. overlapping-window t2 energy-ratio track over the whole ring (skinny
-       partial-DFT matmul — ~22 bins per 128-sample hop);
-    2. rising edges of the gate become frame candidates (first window of each
-       hot run), compacted with a searchsorted over the edge-rank cumsum;
-    3. each candidate gathers a ~900-sample search region (gather-free
+    1. overlapping-window t2 energy-ratio track over the whole ring (fused
+       half-block partial-DFT matmul — ~22 bins per 128-sample hop);
+    2. hot local maxima of the track become frame candidates, the strongest
+       K kept (lax.top_k) and re-sorted by position — a real burst scores
+       ~0.9 on the track while OFDM-data/pilot leakage into the masked bins
+       peaks far lower, so candidate flooding near a relaxed gate level
+       degrades gracefully (weak spurious peaks lose slots first) instead of
+       positionally evicting real frames;
+    3. each candidate gathers a ~G+L-sample search region (gather-free
        one-hot block contraction) and runs the banded-Toeplitz MXU matched
-       filter over G=768 lags — the burst start lies within +-256 samples of
-       the first hot window, so the preamble lag lies in [w-128, w+640);
+       filter over G = cfg.gated_search_lags lags — the burst start lies
+       within +-t2sin_size of the first hot window, so the preamble lag lies
+       within [t2sin_size, 2*t2sin_size] of the region start (G covers that
+       plus a hop + pr_sin_len margin; = 768 at the reference geometry);
     4. a 41-step scalar scan enforces the reference advance rule (next frame
        at least message_len past the previous, `rx.cpp:198`) and a second
        searchsorted compacts confirmed hits into the output slots.
@@ -150,8 +156,8 @@ def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
     n = ring.shape[-1]
     hop = cfg.t2sin_size // 2
     L = cfg.pr_sin_len
-    G = 768                      # searched lags per candidate (see docstring)
-    K = max_frames + 4           # candidate slack for spurious gate edges
+    G = cfg.gated_search_lags    # searched lags per candidate (see docstring)
+    K = max_frames + cfg.t2_gate_slack  # candidate slack for spurious edges
 
     def first_ge(rank, targets):
         # first index along the last axis where the nondecreasing ``rank``
@@ -161,18 +167,32 @@ def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
 
     track = sync.t2_ratio_track_hop(spec, ring)            # [..., nwin]
     hot = track > cfg.t2_gate_level
-    prev = jnp.concatenate([jnp.zeros((*lead, 1), bool), hot[..., :-1]],
-                           axis=-1)
-    edges = jnp.logical_and(hot, jnp.logical_not(prev))
-    rank = jnp.cumsum(edges.astype(jnp.int32), axis=-1)
-    cand_w = first_ge(rank, jnp.broadcast_to(
-        jnp.arange(1, K + 1, dtype=jnp.int32), (*lead, K)))
-    cand_valid = cand_w < rank.shape[-1]
+    lo = jnp.full((*lead, 1), -jnp.inf, track.dtype)
+    prev = jnp.concatenate([lo, track[..., :-1]], axis=-1)
+    nxt = jnp.concatenate([track[..., 1:], lo], axis=-1)
+    peak = jnp.logical_and(hot, jnp.logical_and(track >= prev, track > nxt))
+    vals = jnp.where(peak, track, -1.0)
+    _, cand_idx = jax.lax.top_k(vals, K)                   # strongest K peaks
+    cand_w = jnp.sort(cand_idx, axis=-1)                   # position order
+    cand_valid = jnp.take_along_axis(vals, cand_w, axis=-1) > 0.0
     cand_w = jnp.where(cand_valid, cand_w, 0)
     start = jnp.maximum(cand_w * hop - hop, 0)             # [..., K], aligned
 
-    regions = jax.vmap(lambda s: sync.aligned_window(
-        ring, s, G + L, hop), in_axes=-1, out_axes=-2)(start)  # [..., K, G+L]
+    # gather the K candidate search regions: Pallas VMEM window kernel on
+    # TPU (starts are hop-aligned, so the kernel's lane rotate is trivial);
+    # one-hot block contractions elsewhere.  Clamping at the ring tail is
+    # harmless: any lag past last_ok is masked below before first_above.
+    win = G + L
+    if rxm._pallas_extract_ok(spec):
+        from ..ops import pallas_extract
+        start = jnp.clip(start, 0, n - win)
+        if lead:
+            regions = pallas_extract.extract_windows_multi(ring, start, win)
+        else:
+            regions = pallas_extract.extract_windows_single(ring, start, win)
+    else:
+        regions = jax.vmap(lambda s: sync.aligned_window(
+            ring, s, win, hop), in_axes=-1, out_axes=-2)(start)  # [..., K, G+L]
     scores = sync.matched_filter_scores(spec, regions)[..., :G]
 
     lags = start[..., None] + jnp.arange(G, dtype=jnp.int32)

@@ -64,23 +64,37 @@ def t2_ratio_track_hop(spec, capture: jnp.ndarray) -> jnp.ndarray:
     The block-aligned track (``t2_ratio_track``) can miss a burst whose start
     falls mid-block (the straddling windows each hold only part of it); with
     50% overlap some window always covers >= 3/4 of the burst, which keeps the
-    ratio above a relaxed *gate* threshold at any alignment.  Built from two
-    shifted aligned tracks (no gather): even windows = track of x, odd = track
-    of x[hop:], interleaved.
+    ratio above a relaxed *gate* threshold at any alignment.
+
+    Fused half-block formulation (one projection pass over the capture — 2x
+    less matmul work than two shifted full-window tracks): project each
+    HALF-block h onto the masked bins with the truncated ``t2sin_size``-point
+    basis, A_h[b] = sum_{m<hop} x[h*hop+m] e^{-2 pi i b m / size}; the second
+    half of window w contributes with the half-period phase
+    e^{-i pi b} = (-1)^b, so S_w[b] = A_w[b] + (-1)^b A_{w+1}[b] exactly.
+    Parseval totals come from per-half-block energies the same way.
     """
     size = spec.cfg.t2sin_size
     hop = size // 2
-    r0 = t2_ratio_track(spec, capture)                 # [..., n//size]
-    r1 = t2_ratio_track(spec, capture[..., hop:])      # [..., (n-hop)//size]
-    n0, n1 = r0.shape[-1], r1.shape[-1]
-    m = min(n0, n1)
-    inter = jnp.stack([r0[..., :m], r1[..., :m]], axis=-1)
-    inter = inter.reshape(*inter.shape[:-2], 2 * m)
-    tails = []
-    if n0 > m:
-        tails.append(r0[..., m:])
-    out = jnp.concatenate([inter] + tails, axis=-1) if tails else inter
-    return out
+    n = capture.shape[-1]
+    nh = n // hop
+    halves = capture[..., : nh * hop].reshape(*capture.shape[:-1], nh, hop)
+    bins, weights = _t2_masked_bins(spec)
+    w = fftops.dft_rows(size, bins)[:, :hop].T       # [hop, nbins] truncated
+    rdt = jnp.finfo(capture.real.dtype).dtype
+    wr = jnp.asarray(w.real, dtype=rdt)
+    wi = jnp.asarray(w.imag, dtype=rdt)
+    xr, xi = halves.real, halves.imag
+    ar = xr @ wr - xi @ wi
+    ai = xr @ wi + xi @ wr                           # A_h [..., nh, nbins]
+    sgn = jnp.asarray(np.where(bins % 2, -1.0, 1.0), dtype=rdt)
+    sr = ar[..., :-1, :] + sgn * ar[..., 1:, :]
+    si = ai[..., :-1, :] + sgn * ai[..., 1:, :]      # S_w [..., nh-1, nbins]
+    e = sr * sr + si * si
+    masked = (e * jnp.asarray(weights, dtype=e.dtype)).sum(-1)
+    h = (xr * xr + xi * xi).sum(-1)                  # [..., nh]
+    total = size * (h[..., :-1] + h[..., 1:])
+    return jnp.where(total > 0, masked / jnp.maximum(total, 1e-30), 0.0)
 
 
 def first_above(track: jnp.ndarray, level: float) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -82,3 +82,36 @@ def test_stream_state_checkpoint_resume(tmp_path, spec64, cfg):
             assert np.array_equal(np.asarray(fr.payload),
                                   payloads[seqs[-1]])
     assert seqs == list(range(n_frames)), seqs
+
+
+def test_rxstream_metadata_drain(tmp_path):
+    """--drain metadata must count the same frames/CRC results as the full
+    drain while never reading payloads back (the summary JSON is the only
+    output), and the summary must carry the drain mode."""
+    payload = (b"metadata drain e2e proof " * 64)[:1200]
+    src = tmp_path / "payload.txt"
+    src.write_bytes(payload)
+    stream = tmp_path / "stream.bin"
+    summary = tmp_path / "s.json"
+
+    r = _run(f"from c_ofdm_tpu.apps.txstream import main; import sys;"
+             f"sys.exit(main(['--in','{src}','--out','{stream}','--gap','777']))")
+    assert r.returncode == 0, r.stderr
+
+    full = tmp_path / "full.json"
+    r = _run(f"from c_ofdm_tpu.apps.rxstream import main; import sys;"
+             f"sys.exit(main(['--in','{stream}','--format','i16',"
+             f"'--out','{tmp_path}/d.bin','--summary-json','{full}']))")
+    assert r.returncode == 0, r.stderr
+    sf = json.loads(full.read_text())
+
+    r = _run(f"from c_ofdm_tpu.apps.rxstream import main; import sys;"
+             f"sys.exit(main(['--in','{stream}','--format','i16',"
+             f"'--out','{tmp_path}/d2.bin','--drain','metadata',"
+             f"'--summary-json','{summary}']))")
+    assert r.returncode == 0, r.stderr
+    sm = json.loads(summary.read_text())
+    assert sm["drain"] == "metadata"
+    assert sm["frames"] == sf["frames"] >= 1
+    assert sm["crc_failures"] == sf["crc_failures"] == 0
+    assert os.path.getsize(tmp_path / "d2.bin") == 0   # nothing read back

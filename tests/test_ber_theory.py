@@ -123,3 +123,65 @@ def test_ber_within_budget_of_theory(mod_type, snr_points, t2_level,
         assert ber >= t_sanity, (
             f"mod{mod_type} snr{snr_db}dB: BER {ber:.2e} is better than "
             f"theory at +2 dB {t_sanity:.2e} — SNR accounting is off")
+
+
+def test_streaming_ber_within_budget_of_theory():
+    """The STREAMING path (gated sync, carry-over halo, boundary-straddling
+    frames) must meet the same QAM16 implementation-loss budget as the batch
+    path — gating-threshold interaction and carry-boundary frames must not
+    cost measurable SNR (round-2 verdict weak #4)."""
+    mod_type, snr_db, loss_budget_db = 4, 14.5, 1.25
+    cfg = ModemConfig(mod_type=mod_type)
+    spec = make_frame_spec(cfg, dtype=jnp.complex64)
+    from c_ofdm_tpu.models import streaming
+
+    rng = np.random.default_rng(99)
+    buf_len = cfg.rx_buf_size * cfg.frame_len
+    n_bufs = 3
+    n_frames = 90        # dense enough that many frames straddle boundaries
+    wire = rng.integers(0, 256, (n_frames, cfg.frame_bytes), dtype=np.uint8)
+    frames = np.asarray(txm.transmit(spec, jnp.asarray(wire)))
+    s_time = float((np.abs(frames) ** 2).mean())
+    es = float(np.mean(np.abs(modulation.constellation(mod_type)) ** 2))
+
+    total = n_bufs * buf_len
+    slack = total - n_frames * cfg.frame_len
+    gaps = rng.multinomial(slack, np.ones(n_frames + 1) / (n_frames + 1))
+    sig = np.zeros(total, dtype=np.complex64)
+    pos = 0
+    order = []
+    for i in range(n_frames):
+        pos += gaps[i]
+        sig[pos:pos + cfg.frame_len] = frames[i]
+        order.append(i)
+        pos += cfg.frame_len
+    n = np.arange(total)
+    sig = sig * np.exp(2j * np.pi * 1e-4 * n) * 60.0
+    noise = (rng.standard_normal(total) + 1j * rng.standard_normal(total))
+    sig = (sig + noise * np.sqrt(s_time * 3600 * 10 ** (-snr_db / 10) / 2)
+           ).astype(np.complex64)
+
+    state = streaming.init_state(spec)
+    got = []
+    for b in range(n_bufs):
+        state, out = streaming.process_buffer(
+            spec, state, jnp.asarray(sig[b * buf_len:(b + 1) * buf_len]),
+            cfg.rx_buf_size + 1)
+        v = np.asarray(out.valid)
+        for k in np.nonzero(v)[0]:
+            got.append(np.asarray(out.mac_bytes)[k])
+    assert len(got) == n_frames, f"streaming decoded {len(got)}/{n_frames}"
+
+    per_frame = np.unpackbits(np.stack(got) ^ wire, axis=1).mean(1)
+    erased = per_frame > ERASURE_BER
+    assert not erased.any(), f"{int(erased.sum())} streaming frames erased"
+    ber = float(per_frame.mean())
+    n_err = int(per_frame.sum() * cfg.frame_bytes * 8)
+    esn0_db = 10 * math.log10(es / s_time) + snr_db
+    ebn0_db = esn0_db - 10 * math.log10(mod_type)
+    t_budget = _binary_qam_ber(mod_type, ebn0_db - loss_budget_db)
+    t_sanity = _binary_qam_ber(mod_type, ebn0_db + 2.0)
+    assert n_err >= 20, f"too few errors ({n_err}) for a meaningful estimate"
+    assert t_sanity <= ber <= t_budget, (
+        f"streaming BER {ber:.2e} outside [theory+2dB {t_sanity:.2e}, "
+        f"budget {t_budget:.2e}] @ Eb/N0 {ebn0_db:.1f} dB")

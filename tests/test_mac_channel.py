@@ -140,3 +140,38 @@ def test_sco_multiframe_stream(spec64, cfg, sco_ppm):
     for i, (seq, pl, ok) in enumerate(got):
         assert seq == i and ok, (i, seq, ok)
         assert np.array_equal(pl, payloads[i])
+
+
+def test_mac_soft_llr_combining_beats_majority_vote():
+    """The soft-decision path (soft_llrs + Mac.read_llr) must beat the hard
+    majority vote on the spread-repetition scheme in AWGN — the measurable
+    form of the ~1.5 dB repetition-combining gain (new capability vs the
+    hard-decision-only reference, `OFDM/modulation.cpp:53-87`)."""
+    import jax
+    import jax.numpy as jnp
+    from c_ofdm_tpu.mac.mac import Mac
+    from c_ofdm_tpu.ops import bits as bitops
+    from c_ofdm_tpu.ops import modulation
+
+    mod, B = 4, 64
+    mac = Mac(frame_bytes=1024, spread=mod)
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 256, (B, mac.payload), dtype=np.uint8)
+    wire = mac.write(jnp.asarray(payload), jnp.arange(B, dtype=jnp.uint32))
+    pts = modulation.map_bytes(wire, mod)
+    es = float(np.mean(np.abs(modulation.constellation(mod)) ** 2))
+    snr_db = 8.0                       # measurable-BER region for QAM16
+    nvar = es * 10 ** (-snr_db / 10)
+    key = jax.random.PRNGKey(0)
+    noise = (jax.random.normal(key, pts.shape) +
+             1j * jax.random.normal(jax.random.split(key)[0], pts.shape))
+    rx = pts + noise * np.sqrt(nvar / 2)
+
+    hard = mac.read_bytes(modulation.demap_bytes(rx, mod))
+    soft = mac.read_llr(modulation.soft_llrs(rx, mod, noise_var=nvar))
+    ber = lambda fr: float(np.unpackbits(  # noqa: E731
+        np.asarray(fr.payload) ^ payload, axis=-1).mean())
+    bh, bs = ber(hard), ber(soft)
+    assert bs > 0, "SNR too high for a meaningful comparison"
+    assert bs < 0.6 * bh, (
+        f"soft combining gave no gain: hard {bh:.2e} vs soft {bs:.2e}")
