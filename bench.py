@@ -102,10 +102,11 @@ def measure(f, pools, k_lo, k_hi, rounds):
     return best
 
 
-def bench_batch(B=256, K=8, k_lo=4, k_hi=100, reps=4, rounds=5):
+def bench_batch(B=256, K=8, k_lo=4, k_hi=100, reps=4, rounds=5, cfg=None,
+                metric=None):
     from c_ofdm_tpu import ModemConfig, make_frame_spec
 
-    spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64,
+    spec = make_frame_spec(cfg or ModemConfig(), dtype=jnp.complex64,
                            fft_backend="matmul")
     f = build_runner(spec, K)
     rng = np.random.default_rng(B)
@@ -116,7 +117,7 @@ def bench_batch(B=256, K=8, k_lo=4, k_hi=100, reps=4, rounds=5):
     print(f"B={B}: {sps/1e6:.1f} Msamples/s ({per_step*1e3:.3f} ms/step)",
           file=sys.stderr, flush=True)
     return {
-        "metric": "ofdm_tx_rx_samples_per_s_per_chip",
+        "metric": metric or "ofdm_tx_rx_samples_per_s_per_chip",
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_S, 3),

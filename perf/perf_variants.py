@@ -241,6 +241,19 @@ def main_stream_stages(which):
         return pos.sum().astype(jnp.float32) + val.sum()
 
     def sdemod(p):
+        # production extract path (extract_sigs_ring = Pallas window kernel
+        # on TPU) + batched demod at fixed positions
+        from c_ofdm_tpu.models import rx as rxm
+        ring = to_ring(p)
+        starts = (jnp.arange(max_frames, dtype=jnp.int32)
+                  * (ring.shape[-1] // max_frames))
+        starts = jnp.clip(starts, 0, ring.shape[-1] - cfg.frame_len)
+        sigs = rxm.extract_sigs_ring(spec, ring, starts)
+        res = rxm.demod_sig(spec, sigs)
+        return res.mac_bytes.astype(jnp.float32).sum()
+
+    def sdemod_xla(p):
+        # A/B: the vmapped-dynamic_slice gather the Pallas kernel replaced
         from c_ofdm_tpu.models import rx as rxm
         ring = to_ring(p)
         starts = (jnp.arange(max_frames, dtype=jnp.int32)
@@ -250,6 +263,40 @@ def main_stream_stages(which):
         res = rxm.demod_sig(spec, sigs)
         return res.mac_bytes.astype(jnp.float32).sum()
 
+    def stopk(p):
+        # gated_hits minus the MF/dedup: track + peak select + top_k + sort
+        ring = to_ring(p)
+        track = syncops.t2_ratio_track_hop(spec, ring)
+        K = max_frames + spec.cfg.t2_gate_slack
+        hot = track > cfg.t2_gate_level
+        lo = jnp.full((1,), -jnp.inf, track.dtype)
+        prev = jnp.concatenate([lo, track[:-1]])
+        nxt = jnp.concatenate([track[1:], lo])
+        peak = jnp.logical_and(hot, jnp.logical_and(track >= prev,
+                                                    track > nxt))
+        vals = jnp.where(peak, track, -1.0)
+        _, idx = jax.lax.top_k(vals, K)
+        return jnp.sort(idx).sum().astype(jnp.float32)
+
+    def sscan(p):
+        # the 49-step advance-rule scan + slot compaction alone, on
+        # synthetic candidate arrays derived cheaply from the input
+        ring = to_ring(p)
+        K = max_frames + spec.cfg.t2_gate_slack
+        base = (ring.real[:K] > 0).astype(jnp.int32)
+        pr = jnp.cumsum(jnp.full((K,), cfg.frame_len, jnp.int32)) + base
+        found = jnp.ones((K,), bool)
+
+        def dedup(cursor, x):
+            p_, f_ = x
+            ok = jnp.logical_and(f_, p_ >= cursor)
+            return jnp.where(ok, p_ + cfg.message_len, cursor), ok
+        _, accept = jax.lax.scan(dedup, jnp.zeros((), jnp.int32), (pr, found))
+        arank = jnp.cumsum(accept.astype(jnp.int32))
+        tgt = jnp.arange(1, max_frames + 1, dtype=jnp.int32)
+        slot = (arank[None, :] < tgt[:, None]).sum(-1)
+        return slot.sum().astype(jnp.float32)
+
     def sfull(p):
         st0 = streaming.init_state(spec)
         _, out = streaming.process_buffer(spec, st0, p, max_frames)
@@ -257,6 +304,7 @@ def main_stream_stages(which):
                 + out.mac_bytes.astype(jnp.float32).sum())
 
     step = {"sgate": sgate, "ssync": ssync, "sdemod": sdemod,
+            "sdemod_xla": sdemod_xla, "stopk": stopk, "sscan": sscan,
             "sfull": sfull}[which]
 
     def run(pool, k):
@@ -290,7 +338,8 @@ if __name__ == "__main__":
     elif sys.argv[1] == "stages":
         main_stages()
     elif sys.argv[1].startswith("s") and sys.argv[1] in (
-            "sgate", "ssync", "sdemod", "sfull"):
+            "sgate", "ssync", "sdemod", "sdemod_xla", "stopk", "sscan",
+            "sfull"):
         main_stream_stages(sys.argv[1])
     else:
         main(sys.argv[1])

@@ -1,0 +1,115 @@
+"""Sharded receiver on the real chip (round-2 verdict gap #3).
+
+The shard_map executable (`parallel/sharded.py`) had only ever compiled on
+the virtual CPU mesh.  This script runs `make_sharded_receiver` on a
+{channel:1, time:1} mesh on the real TPU:
+
+  1. parity — the sharded executable must decode the committed golden OTA
+     ring to the same frame positions and War-and-Peace payload as the
+     unsharded path (tpu_smoke part 1: t2 10752, preamble 11040);
+  2. the Pallas window-extract path inside shard_map (gated_hits routes
+     candidate regions and the default `extract_backend="auto"` resolves to
+     Pallas on TPU) must compile within the relay budget — the compile time
+     is printed as the verdict on `parallel/sharded.py`'s old caveat;
+  3. per-step time via two trip counts of repeated dispatch on distinct
+     inputs, reported next to the unsharded streaming buffer time for the
+     shard_map overhead.
+
+Reference counterpart of the semantics: the ring walk `rx.cpp:147-156`
+(single process); the mesh/halo design is green-field TPU (SURVEY §5.7).
+
+Run on the TPU:  python perf/tpu_sharded.py
+"""
+
+import sys
+import time
+
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+REF = "/root/reference"
+
+
+def main():
+    from c_ofdm_tpu import ModemConfig, make_frame_spec
+    from c_ofdm_tpu.mac.mac import Mac
+    from c_ofdm_tpu.parallel.mesh import make_modem_mesh
+    from c_ofdm_tpu.parallel import sharded
+
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({dev.platform})", flush=True)
+
+    spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64,
+                           fft_backend="matmul")
+    cfg = spec.cfg
+    mac = Mac(frame_bytes=cfg.frame_bytes, spread=cfg.mod_type)
+
+    d = np.fromfile(f"{REF}/data/data.bin", dtype=np.float64)
+    cap = (d[::2] + 1j * d[1::2]).astype(np.complex64)
+    with open(f"{REF}/data.txt", "rb") as f:
+        want = f.read()
+
+    mesh = make_modem_mesh(n_channel=1, n_time=1, devices=jax.devices()[:1])
+    recv = sharded.make_sharded_receiver(spec, mesh, max_frames_per_block=8)
+
+    # complex device_put is unimplemented on the relayed runtime: wrap the
+    # sharded receiver so IQ goes up as interleaved f32 and only real/uint8
+    # come back (mac deframing stays on device)
+    @jax.jit
+    def step(raw):
+        c = (raw[..., 0] + 1j * raw[..., 1]).astype(spec.dtype)
+        out = recv(c)
+        frs = mac.read_soft(out.diag)
+        return (out.positions, out.valid, out.num_found,
+                frs.payload, frs.valid)
+
+    raw = jnp.asarray(np.stack([cap.real, cap.imag], -1)
+                      .astype(np.float32)[None])        # [1, n, 2]
+    t0 = time.perf_counter()
+    pos, valid, nf, payloads, crc_ok = jax.tree.map(np.asarray, step(raw))
+    compile_s = time.perf_counter() - t0
+    print(f"sharded step (Pallas extract under shard_map): "
+          f"compile+run {compile_s:.0f}s", flush=True)
+
+    # parity with the unsharded path on the same ring
+    n_found = int(nf.sum())
+    hits = pos[valid]
+    print(f"  decoded {n_found} frames at ring positions {hits.tolist()}",
+          flush=True)
+    assert n_found >= 1 and 11040 in hits.tolist(), (n_found, hits)
+    k = np.nonzero(valid.reshape(-1))[0][0]
+    got = payloads.reshape(-1, payloads.shape[-1])[k].tobytes()
+    assert got == want[:len(got)], got[:60]
+    assert bool(crc_ok.reshape(-1)[k])
+    print(f"  payload OK on TPU via shard_map: {got[8:46]!r}...", flush=True)
+
+    # per-step time (distinct inputs defeat relay memoization)
+    def timed(k_reps):
+        best = float("inf")
+        for r in range(3):
+            scaled = raw * np.float32(1.0 + 1e-6 * r)
+            t0 = time.perf_counter()
+            for _ in range(k_reps):
+                out = step(scaled)
+            jax.tree.map(np.asarray, out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(2), timed(12)
+    per = (t_hi - t_lo) / 10
+    print(f"  sharded per-step: {per*1e3:.3f} ms "
+          f"({cap.size/per/1e6:.0f} Msamples/s on the {{1,1}} mesh; compare "
+          f"bench --streaming per-buffer for shard_map overhead)", flush=True)
+    print("TPU SHARDED: ALL OK", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
