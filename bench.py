@@ -103,11 +103,11 @@ def measure(f, pools, k_lo, k_hi, rounds):
 
 
 def bench_batch(B=256, K=8, k_lo=4, k_hi=100, reps=4, rounds=5, cfg=None,
-                metric=None):
+                metric=None, fft_backend="matmul"):
     from c_ofdm_tpu import ModemConfig, make_frame_spec
 
     spec = make_frame_spec(cfg or ModemConfig(), dtype=jnp.complex64,
-                           fft_backend="matmul")
+                           fft_backend=fft_backend)
     f = build_runner(spec, K)
     rng = np.random.default_rng(B)
     pools = [jnp.asarray(rng.integers(0, 256, (K, B, spec.cfg.frame_bytes),

@@ -132,18 +132,22 @@ def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
        peaks far lower, so candidate flooding near a relaxed gate level
        degrades gracefully (weak spurious peaks lose slots first) instead of
        positionally evicting real frames;
-    3. each candidate gathers a ~G+L-sample search region (gather-free
-       one-hot block contraction) and runs the banded-Toeplitz MXU matched
-       filter over G = cfg.gated_search_lags lags — the burst start lies
-       within +-t2sin_size of the first hot window, so the preamble lag lies
-       within [t2sin_size, 2*t2sin_size] of the region start (G covers that
-       plus a hop + pr_sin_len margin; = 768 at the reference geometry);
-    4. a 41-step scalar scan enforces the reference advance rule (next frame
-       at least message_len past the previous, `rx.cpp:198`) and a second
-       searchsorted compacts confirmed hits into the output slots.
+    3. each candidate gathers a ~G+L-sample search region (Pallas window
+       kernel on TPU — starts are hop-aligned; one-hot block contraction
+       elsewhere) and runs the banded-Toeplitz MXU matched filter over
+       G = cfg.gated_search_lags lags — the burst start lies within
+       +-t2sin_size of the peak window, so the preamble lag lies within
+       [t2sin_size, 2*t2sin_size] of the region start (G covers that plus a
+       hop + pr_sin_len margin; = 768 at the reference geometry);
+    4. the reference advance rule (next frame at least message_len past the
+       previous, `rx.cpp:198`) is enforced as an exact parallel chain
+       closure — one-hot successor matrix + log2(K) boolean matrix
+       squarings — replacing a K-step lax.scan that cost ~60 us of
+       sequential VPU latency per buffer (PERF.md round 3); a searchsorted
+       then compacts accepted hits into the output slots.
 
     vs the dense path (`extract_hits`): ~50x less matched-filter work
-    (41 x 768 lags instead of all 252k) and no serial full-ring argmax loop.
+    (~49 x 768 lags instead of all 252k) and no serial full-ring argmax loop.
     Detection semantics match the reference MORE closely than the dense path:
     a frame whose burst the detector misses is skipped (as the reference
     would), instead of being rescued by its preamble correlation alone.
@@ -205,15 +209,27 @@ def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
     rel, found = sync.first_above(scores, cfg.pr_level)
     pr = jnp.where(found, start + rel + 1, -1).astype(jnp.int32)  # +1 quirk
 
-    # reference advance rule over the (position-ordered) candidates
-    def dedup(cursor, x):
-        p, f = x
-        ok = jnp.logical_and(f, p >= cursor)
-        return jnp.where(ok, p + cfg.message_len, cursor), ok
-    _, accept = jax.lax.scan(
-        dedup, jnp.zeros(lead, jnp.int32),
-        (jnp.moveaxis(pr, -1, 0), jnp.moveaxis(found, -1, 0)))
-    accept = jnp.moveaxis(accept, 0, -1)                   # [..., K]
+    # reference advance rule (next accepted preamble at least message_len
+    # past the previous, rx.cpp:198) over the position-ordered candidates.
+    # The greedy accept set is exactly the chain i0 -> nxt(i0) -> ... where
+    # nxt(i) is the first later candidate with found and p >= p_i + M; a
+    # K-step sequential lax.scan costs ~60 us of VPU latency on TPU, so the
+    # chain is closed in parallel instead: one-hot successor matrix, then
+    # ceil(log2 K) boolean matrix squarings (tiny [K, K] matmuls).
+    idx = jnp.arange(K, dtype=jnp.int32)
+    later = idx[None, :] > idx[:, None]
+    adm = pr[..., None, :] >= pr[..., :, None] + cfg.message_len
+    succ = jnp.logical_and(found[..., None, :],
+                           jnp.logical_and(later, adm))    # [..., K, K]
+    nxt1 = jnp.logical_and(succ, jnp.cumsum(succ, -1) == 1)  # first True/row
+    rdt = jnp.float32
+    A = (nxt1.astype(rdt)
+         + jnp.eye(K, dtype=rdt))                          # step-or-stay
+    for _ in range(max(1, (K - 1).bit_length())):
+        A = jnp.minimum(jnp.einsum('...ij,...jk->...ik', A, A), 1.0)
+    start_ok = jnp.logical_and(found, pr >= min_lag[..., None])
+    i0 = jnp.logical_and(start_ok, jnp.cumsum(start_ok, -1) == 1)
+    accept = jnp.einsum('...i,...ik->...k', i0.astype(rdt), A) > 0.5
 
     arank = jnp.cumsum(accept.astype(jnp.int32), axis=-1)
     slot = first_ge(arank, jnp.broadcast_to(

@@ -43,8 +43,18 @@ def bins_transform(spec, time_syms: jnp.ndarray):
     backend = getattr(spec, 'fft_backend', 'xla')
     P = cfg.num_pilot_subc
     if backend in ("matmul", "matmul_bf16"):
-        w = _rx_partial_basis_np(cfg.fft_size, tuple(spec.pilot_bins),
-                                 tuple(spec.data_bins))
+        nbins = P + cfg.num_data_subc
+        if cfg.fft_size * nbins >= fftops.DEVICE_BASIS_MIN_ELEMS:
+            # wideband: the basis is built on device (fft.dft_basis) — a
+            # host constant this size is rejected by the relay's compile
+            # upload and wastes HBM as program data
+            rows = np.concatenate([np.asarray(spec.pilot_bins),
+                                   np.asarray(spec.data_bins)])
+            w = fftops.dft_basis(cfg.fft_size, rows, sign=-1, transpose=True,
+                                 rdt=jnp.finfo(time_syms.real.dtype).dtype)
+        else:
+            w = _rx_partial_basis_np(cfg.fft_size, tuple(spec.pilot_bins),
+                                     tuple(spec.data_bins))
         y = fftops.complex_matmul(time_syms, w, bf16=backend.endswith("bf16"))
         return y[..., :P], y[..., P:]
     freq = fftops.fft_fwd(time_syms, backend)
@@ -113,9 +123,21 @@ def ofdm_modulate(spec, points: jnp.ndarray, num_symb: int) -> jnp.ndarray:
     backend = getattr(spec, 'fft_backend', 'xla')
     data = points.reshape(*lead, num_symb, cfg.num_data_subc)
     if backend in ("matmul", "matmul_bf16"):
-        w, pilot_time = _tx_partial_basis_np(
-            cfg.fft_size, tuple(spec.pilot_bins), tuple(spec.data_bins),
-            float(cfg.pilot_ampl))
+        if cfg.fft_size * cfg.num_data_subc >= fftops.DEVICE_BASIS_MIN_ELEMS:
+            # wideband: device-built inverse basis (see bins_transform); the
+            # pilot waveform is tiny and stays a host constant
+            scale = 1.0 / np.sqrt(cfg.fft_size)
+            w = fftops.dft_basis(cfg.fft_size, np.asarray(spec.data_bins),
+                                 sign=+1, scale=scale,
+                                 rdt=jnp.finfo(data.real.dtype).dtype)
+            pilot_time = (float(cfg.pilot_ampl) * scale *
+                          fftops.dft_rows(cfg.fft_size,
+                                          np.asarray(spec.pilot_bins),
+                                          sign=+1).sum(axis=0))
+        else:
+            w, pilot_time = _tx_partial_basis_np(
+                cfg.fft_size, tuple(spec.pilot_bins), tuple(spec.data_bins),
+                float(cfg.pilot_ampl))
         time = fftops.complex_matmul(data, w, bf16=backend.endswith("bf16"))
         time = time + jnp.asarray(pilot_time, dtype=time.dtype)
     else:

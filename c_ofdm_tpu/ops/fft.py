@@ -33,6 +33,36 @@ def dft_rows(n: int, rows: np.ndarray, sign: int = -1) -> np.ndarray:
     return np.exp(sign * 2j * np.pi * np.outer(np.asarray(rows), k) / n)
 
 
+# above this element count a host DFT-basis constant bloats the HLO beyond
+# what the relay's compile upload accepts (~100 MB; a 8192x4128 f32 pair is
+# 270 MB) — build the basis on device instead.  Inside a fori_loop/scan the
+# construction is loop-invariant and XLA hoists it, so it runs once.
+DEVICE_BASIS_MIN_ELEMS = 1 << 23
+
+
+def dft_basis(n: int, rows: np.ndarray, sign: int = -1, scale: float = 1.0,
+              transpose: bool = False, rdt=None):
+    """DFT-basis rows, host np.ndarray (small) or device (wr, wi) pair
+    (large).  The device path computes the phase index r*k mod n exactly in
+    int32 (no catastrophic f32 rounding of large products) before one
+    cos/sin pass; ``complex_matmul`` accepts either form."""
+    rows = np.asarray(rows)
+    if n * rows.size < DEVICE_BASIS_MIN_ELEMS:
+        w = dft_rows(n, rows, sign) * scale
+        return w.T.copy() if transpose else w
+    assert n <= 32768, "int32 phase index overflows past 32k-point DFT"
+    rdt = rdt or jnp.float32
+    r = jnp.asarray(rows % n, dtype=jnp.int32)
+    k = jnp.arange(n, dtype=jnp.int32)
+    ph = jnp.remainder(r[:, None] * k[None, :], n).astype(rdt)
+    ang = ph * np.asarray(sign * 2 * np.pi / n, dtype=rdt)
+    wr = jnp.cos(ang) * np.asarray(scale, dtype=rdt)
+    wi = jnp.sin(ang) * np.asarray(scale, dtype=rdt)
+    if transpose:
+        wr, wi = wr.T, wi.T
+    return wr, wi
+
+
 def fft_fwd(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
     """Unnormalized forward FFT along the last axis."""
     if backend in ("matmul", "matmul_bf16"):
@@ -53,15 +83,20 @@ def ifft_unnorm(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
     return jnp.fft.ifft(x) * x.shape[-1]
 
 
-def complex_matmul(x: jnp.ndarray, w: np.ndarray, bf16: bool = False) -> jnp.ndarray:
+def complex_matmul(x: jnp.ndarray, w, bf16: bool = False) -> jnp.ndarray:
     """x [..., k] @ w [k, m] for complex operands as 4 real MXU matmuls.
 
-    ``w`` is a host constant (DFT basis); ``bf16`` casts operands to bfloat16
-    with float32 accumulation (double MXU rate, ~1e-3 relative error)."""
+    ``w`` is a host constant (DFT basis) or a device (wr, wi) pair from
+    ``dft_basis``; ``bf16`` casts operands to bfloat16 with float32
+    accumulation (double MXU rate, ~1e-3 relative error)."""
     rdt = jnp.finfo(x.real.dtype).dtype
     mdt = jnp.bfloat16 if bf16 else rdt
-    wr = jnp.asarray(w.real, dtype=mdt)
-    wi = jnp.asarray(w.imag, dtype=mdt)
+    if isinstance(w, tuple):
+        wr = w[0].astype(mdt)
+        wi = w[1].astype(mdt)
+    else:
+        wr = jnp.asarray(w.real, dtype=mdt)
+        wi = jnp.asarray(w.imag, dtype=mdt)
     xr = x.real.astype(mdt)
     xi = x.imag.astype(mdt)
     dot = lambda a, b: jnp.dot(a, b, preferred_element_type=rdt)  # noqa: E731
@@ -88,13 +123,17 @@ def partial_dft(x: jnp.ndarray, rows: np.ndarray, sign: int = -1) -> jnp.ndarray
     """Project x[..., n] onto selected DFT bins: returns [..., len(rows)].
 
     Cost is O(n * len(rows)) on the MXU instead of O(n log n) on the VPU — a
-    large win when only a handful of bins matter (two-tone detection).
+    large win when only a handful of bins matter (two-tone detection).  Large
+    bases (wideband configs) are built on device via ``dft_basis``.
     """
     n = x.shape[-1]
-    w = dft_rows(n, rows, sign).T  # [n, n_rows]
     rdt = jnp.finfo(x.real.dtype).dtype
-    wr = jnp.asarray(w.real, dtype=rdt)
-    wi = jnp.asarray(w.imag, dtype=rdt)
+    w = dft_basis(n, rows, sign, transpose=True, rdt=rdt)  # [n, n_rows]
+    if isinstance(w, tuple):
+        wr, wi = w[0].astype(rdt), w[1].astype(rdt)
+    else:
+        wr = jnp.asarray(w.real, dtype=rdt)
+        wi = jnp.asarray(w.imag, dtype=rdt)
     xr, xi = x.real, x.imag
     yr = xr @ wr - xi @ wi
     yi = xr @ wi + xi @ wr

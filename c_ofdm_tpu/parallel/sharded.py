@@ -58,11 +58,10 @@ def _local_receive(spec: FrameSpec, block: jnp.ndarray, halo: jnp.ndarray,
     valid = jnp.logical_and(valid, jnp.logical_or(halo_valid, fits))
     gather = jnp.clip(jnp.where(valid, starts, 0), 0,
                       ext.shape[-1] - cfg.frame_len)
-    if spec.extract_backend == "pallas":
-        # opt-in only here: this call sits under a channel vmap inside
-        # shard_map, and vmapped pallas_call compile cost on the relayed TPU
-        # is unproven (cf. PERF.md pallas_fft finding); the XLA gather stays
-        # the default for the sharded path until measured on a real pod
+    if rxm._pallas_extract_ok(spec):
+        # proven on the real chip: the Pallas window kernel under a channel
+        # vmap inside shard_map compiles in ~400 s through the relay and
+        # decodes the golden ring to parity (perf/tpu_sharded.py, round 3)
         sigs = rxm.extract_sigs_single(spec, ext, gather)
     else:
         sigs = jax.vmap(lambda s: rxm.extract_sig(spec, ext, s))(gather)

@@ -41,6 +41,11 @@ def main():
     from c_ofdm_tpu.models import rx as rxm, tx as txm
     import bench
 
+    # Backend choice at 8k: a HOST-constant matmul-DFT basis is ~270 MB of
+    # HLO (the relay rejects the upload, HTTP 413), so the matmul backend
+    # builds its basis ON DEVICE past fft.DEVICE_BASIS_MIN_ELEMS (exact
+    # int32 phase index + one cos/sin pass, hoisted out of the bench loop).
+    # Both backends are measured below; the record keeps the faster.
     cfg = ModemConfig(**WIDEBAND)
     spec = make_frame_spec(cfg, dtype=jnp.complex64, fft_backend="matmul")
     print(f"wideband: fft={cfg.fft_size} QAM{1 << cfg.mod_type} "
@@ -71,10 +76,18 @@ def main():
           flush=True)
     assert abs(int(fs) - 701) <= 1 and ber < 1e-3
 
-    # 2. throughput record, same method/metric convention as bench.py
-    out = bench.bench_batch(B=64, k_lo=4, k_hi=60, reps=3, rounds=4, cfg=cfg,
-                            metric="ofdm_wideband_8k_qam64_samples_per_s")
-    print(json.dumps(out), flush=True)
+    # 2. throughput record, same method/metric convention as bench.py;
+    #    A/B both symbol-transform backends, keep the faster as the record
+    results = {}
+    for be in ("matmul", "xla"):
+        results[be] = bench.bench_batch(
+            B=64, k_lo=4, k_hi=60, reps=3, rounds=4, cfg=cfg,
+            metric=f"ofdm_wideband_8k_qam64_{be}_samples_per_s",
+            fft_backend=be)
+        print(json.dumps(results[be]), flush=True)
+    best = max(results.values(), key=lambda r: r["value"])
+    best = dict(best, metric="ofdm_wideband_8k_qam64_samples_per_s")
+    print(json.dumps(best), flush=True)
     return 0
 
 

@@ -115,3 +115,27 @@ def test_rxstream_metadata_drain(tmp_path):
     assert sm["frames"] == sf["frames"] >= 1
     assert sm["crc_failures"] == sf["crc_failures"] == 0
     assert os.path.getsize(tmp_path / "d2.bin") == 0   # nothing read back
+
+
+def test_rxstream_metadata_chunked(tmp_path):
+    """--chunk N (lax.scan over N buffers per dispatch) must tally exactly
+    what per-buffer metadata mode tallies, including zero-padded tail
+    chunks."""
+    payload = (b"chunked dispatch proof " * 80)[:1500]
+    src = tmp_path / "p.txt"
+    src.write_bytes(payload)
+    stream = tmp_path / "s.bin"
+    r = _run(f"from c_ofdm_tpu.apps.txstream import main; import sys;"
+             f"sys.exit(main(['--in','{src}','--out','{stream}','--gap','900']))")
+    assert r.returncode == 0, r.stderr
+    outs = {}
+    for chunk in ("1", "2"):
+        sj = tmp_path / f"s{chunk}.json"
+        r = _run(f"from c_ofdm_tpu.apps.rxstream import main; import sys;"
+                 f"sys.exit(main(['--in','{stream}','--format','i16',"
+                 f"'--out','{tmp_path}/o{chunk}.bin','--drain','metadata',"
+                 f"'--chunk','{chunk}','--summary-json','{sj}']))")
+        assert r.returncode == 0, r.stderr
+        outs[chunk] = json.loads(sj.read_text())
+    assert outs["1"]["frames"] == outs["2"]["frames"] >= 1
+    assert outs["1"]["crc_failures"] == outs["2"]["crc_failures"] == 0
