@@ -241,10 +241,17 @@ def main():
     # each, flagship batch number LAST (the driver parses the tail line).
     # Streaming = the reference's real workload (rx.cpp:94-237): 41-frame
     # rings, random frame offsets in noise+CFO, gated sync, carry threading.
-    print(json.dumps(bench_streaming(rounds=3)), flush=True)
-    print(json.dumps(bench_streaming(
-        channels=8, k_hi=30, rounds=3,
-        metric="ofdm_streaming_8ch_samples_per_s_per_chip")), flush=True)
+    # Non-flagship metrics are best-effort: a failure there must never cost
+    # the tail line.
+    for extra in (lambda: bench_streaming(rounds=3),
+                  lambda: bench_streaming(
+                      channels=8, k_hi=30, rounds=3,
+                      metric="ofdm_streaming_8ch_samples_per_s_per_chip")):
+        try:
+            print(json.dumps(extra()), flush=True)
+        except Exception as e:                      # noqa: BLE001
+            print(f"non-flagship metric failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
     print(json.dumps(bench_batch()), flush=True)
 
 

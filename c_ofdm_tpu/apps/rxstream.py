@@ -98,13 +98,19 @@ def main(argv=None):
             if not raw:
                 break
             if args.format == "i16":
-                d = np.frombuffer(raw, dtype=np.int16).astype(np.float32)
-                block = (d[0::2] + 1j * d[1::2]) / cfg.mult
+                # keep the SDR wire format: int16 [n, 2] staged as-is and
+                # converted/scaled on device (process_buffer) — half the
+                # host->device bytes of a f32 stage, which is the e2e floor
+                # on a relayed link
+                block = np.frombuffer(raw, dtype=np.int16).reshape(-1, 2)
+                if block.shape[0] < buf_samples:
+                    block = np.pad(block,
+                                   ((0, buf_samples - block.shape[0]), (0, 0)))
             else:
                 d = np.frombuffer(raw, dtype=np.float64)
                 block = (d[0::2] + 1j * d[1::2]).astype(np.complex64)
-            if block.size < buf_samples:
-                block = np.pad(block, (0, buf_samples - block.size))
+                if block.size < buf_samples:
+                    block = np.pad(block, (0, buf_samples - block.size))
             yield block
         if src is not sys.stdin.buffer:
             src.close()

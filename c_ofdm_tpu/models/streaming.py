@@ -262,6 +262,12 @@ def process_buffer(spec: FrameSpec, state: StreamState, block: jnp.ndarray,
     cfg = spec.cfg
     max_frames = max_frames or (cfg.rx_buf_size + 1)
     if not jnp.issubdtype(block.dtype, jnp.complexfloating):
+        if jnp.issubdtype(block.dtype, jnp.integer):
+            # raw SDR wire samples (int16 IQ, config ``mult`` staging
+            # scale): convert on device — staging integers halves the
+            # host->device bytes, which is the e2e floor on a relayed link
+            rdt = jnp.finfo(spec.dtype).dtype
+            block = block.astype(rdt) / cfg.mult
         block = block[..., 0] + 1j * block[..., 1]
     block = block.astype(spec.dtype)
     lead = block.shape[:-1]

@@ -129,56 +129,21 @@ def _extract_single_call(xr, xi, starts, win: int, interpret: bool):
     return out[0][:K], out[1][:K]
 
 
-def _multi_kernel(st_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, win: int,
-                  K_pad: int):
-    """K windows out of EACH of C capture rows: grid (C, K_pad/_ROWS); block
-    c supplies the row, block i the window batch (the multi-channel
-    streaming-ring case)."""
-    c = pl.program_id(0)
-    base = pl.program_id(1) * _ROWS
-    for r in range(_ROWS):
-        s = st_ref[c * K_pad + base + r]
-        q = pl.multiple_of((s // 128) * 128, 128)
-        rem = s - q
-        shift = (win + 128) - rem
-        for ref, out in ((xr_ref, yr_ref), (xi_ref, yi_ref)):
-            chunk = ref[0:1, pl.ds(q, win + 128)]
-            out[0, r: r + 1, :] = pltpu.roll(chunk, shift, axis=1)[:, :win]
-
-
-@functools.partial(jax.jit, static_argnums=(3, 4))
 def _extract_multi_call(xr, xi, starts, win: int, interpret: bool):
-    C, n = xr.shape
-    K = starts.shape[-1]
-    pad = (-K) % _ROWS
-    K_pad = K + pad
-    xr = jnp.pad(xr, [(0, 0), (0, 128)])
-    xi = jnp.pad(xi, [(0, 0), (0, 128)])
-    if pad:
-        starts = jnp.pad(starts, [(0, 0), (0, pad)])
-    nb = K_pad // _ROWS
-    kern = functools.partial(_multi_kernel, win=win, K_pad=K_pad)
-    out = pl.pallas_call(
-        kern,
-        grid=(C, nb),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n + 128), lambda c, i: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n + 128), lambda c, i: (c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, _ROWS, win), lambda c, i: (c, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _ROWS, win), lambda c, i: (c, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((C, K_pad, win), jnp.float32),
-                   jax.ShapeDtypeStruct((C, K_pad, win), jnp.float32)],
-        interpret=interpret,
-    )(starts.reshape(-1).astype(jnp.int32), xr, xi)
-    return out[0][:, :K], out[1][:, :K]
+    """K windows out of EACH of C capture rows: the proven single-row kernel
+    launched per channel (C is a trace-time constant).
+
+    A fused (C, K/8)-grid variant is NOT expressible under Mosaic's tiling
+    rules at these shapes: a (1, n) VMEM block per row violates the
+    (8, 128) sublane tile, C full rows at ring size exceed VMEM, and HBM
+    DMA source slices must be 8-aligned in the sublane dim — all three were
+    hit on real v5e (round 3).  Per-channel launches of the equal-dims
+    (1, n) kernel sidestep every constraint at the cost of C kernel
+    dispatches, which is noise next to the demod that follows."""
+    outs = [_extract_single_call(xr[c], xi[c], starts[c], win, interpret)
+            for c in range(xr.shape[0])]
+    return (jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]))
 
 
 def _on_tpu() -> bool:
