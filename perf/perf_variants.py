@@ -31,18 +31,53 @@ K_LO = int(os.environ.get("PV_KLO", 4))
 K_HI = int(os.environ.get("PV_KHI", 36))
 REPS = int(os.environ.get("PV_REPS", 3))
 
+# PV_CFG=wideband profiles the 8k-FFT QAM64 geometry (BASELINE config #3)
+_CFGS = {
+    "default": dict(),
+    "wideband": dict(fft_size=8192, num_data_subc=4096, num_pilot_subc=32,
+                     cp_size=1024, num_symb=2, pr_sin_len=512, mod_type=6),
+}
+CFG_KW = _CFGS[os.environ.get("PV_CFG", "default")]
+
 
 def make_step(name):
     backend = {"full_matmul": "matmul", "full_pallas": "pallas",
                "full_bf16": "matmul_bf16"}.get(
                    name, os.environ.get("PV_BACKEND", "xla"))
-    spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64,
+    spec = make_frame_spec(ModemConfig(**CFG_KW), dtype=jnp.complex64,
                            fft_backend=backend,
                            extract_backend=os.environ.get("PV_EXTRACT",
                                                           "auto"))
 
     def tx_only(payload):
         return jnp.abs(txm.transmit(spec, payload)).sum().astype(jnp.uint32)
+
+    from c_ofdm_tpu.ops import chanest as _ce, modulation as _mo
+
+    def _tx_freq(payload):
+        cfg = spec.cfg
+        pts = _mo.map_bytes(payload, cfg.mod_type, dtype=spec.dtype)
+        data = pts.reshape(*pts.shape[:-1], cfg.num_symb, cfg.num_data_subc)
+        pilot = jnp.full((*data.shape[:-1], 1), cfg.pilot_ampl,
+                         dtype=pts.dtype)
+        zero = jnp.zeros_like(pilot)
+        lookup = jnp.concatenate([pilot, data, zero], axis=-1)
+        return lookup[..., jnp.asarray(_ce._tx_bin_maps(spec))]
+
+    def txmap(payload):
+        # constellation map only
+        return jnp.abs(_mo.map_bytes(payload, spec.cfg.mod_type,
+                                     dtype=spec.dtype)).sum().astype(jnp.uint32)
+
+    def txfreq(payload):
+        # map + frequency-domain assembly (the xla branch's bin-map gather)
+        return jnp.abs(_tx_freq(payload)).sum().astype(jnp.uint32)
+
+    def txifft(payload):
+        # map + assembly + symbol IFFT (no CP/concat/burst)
+        from c_ofdm_tpu.ops import fft as _fft
+        time = _fft.ifft_unnorm(_tx_freq(payload), "xla")
+        return jnp.abs(time).sum().astype(jnp.uint32)
 
     def demod(payload):
         frames = txm.transmit(spec, payload)
@@ -98,7 +133,8 @@ def make_step(name):
     return {"tx": tx_only, "demod": demod, "sync": sync_only,
             "full": full, "full_matmul": full, "full_pallas": full,
             "full_bf16": full, "extract": extract, "recover": recover,
-            "pilotcfo": pilotcfo, "odemod": odemod, "demap": demap}[name], spec
+            "pilotcfo": pilotcfo, "odemod": odemod, "demap": demap,
+            "txmap": txmap, "txfreq": txfreq, "txifft": txifft}[name], spec
 
 
 def main(name):
