@@ -34,9 +34,28 @@ def constellation(mod_type: int) -> np.ndarray:
 
 
 def map_symbols(symbols: jnp.ndarray, mod_type: int, dtype=jnp.complex64) -> jnp.ndarray:
-    """Symbol indices -> constellation points via gather."""
-    table = jnp.asarray(constellation(mod_type), dtype=dtype)
-    return table[symbols]
+    """Symbol indices -> constellation points, gather-free.
+
+    The square-QAM grid is reconstructed arithmetically with the SAME
+    operation sequence as ``constellation`` (so float64 results are
+    bit-identical to the LUT; float32 may differ by 1 ulp from a
+    compute-in-f64-then-cast table).  The obvious ``table[symbols]`` gather
+    lowers to a scalar path on TPU that cost ~8 ms for 524k QAM64 symbols —
+    93% of the whole wideband TX step (measured round 3, perf_variants
+    txmap); the arithmetic form is pure VPU elementwise work."""
+    rdt = jnp.finfo(jnp.dtype(dtype)).dtype
+    if mod_type == 1:
+        tab = constellation(1)          # 2 points: a select, not a gather
+        re = jnp.where(symbols == 0, np.asarray(tab[0].real, rdt),
+                       np.asarray(tab[1].real, rdt))
+        im = jnp.where(symbols == 0, np.asarray(tab[0].imag, rdt),
+                       np.asarray(tab[1].imag, rdt))
+        return (re + 1j * im).astype(dtype)
+    side = 1 << (mod_type // 2)
+    scale = 2.0 / (side - 1)
+    re = scale * (symbols % side).astype(rdt) - 1.0
+    im = scale * (symbols >> (mod_type // 2)).astype(rdt) - 1.0
+    return ((re + 1j * im) / np.sqrt(2.0)).astype(dtype)
 
 
 def map_bytes(data: jnp.ndarray, mod_type: int, dtype=jnp.complex64) -> jnp.ndarray:
