@@ -38,3 +38,18 @@ def test_ber_sweep(tmp_path):
     # monotone: higher SNR, lower EVM; clean at 28 dB
     assert by_snr[28.0]["evm_rms"] < by_snr[12.0]["evm_rms"]
     assert by_snr[28.0]["ber"] == 0.0
+
+
+def test_ber_sweep_soft(tmp_path):
+    """--soft sweeps MAC-spread logical BER, hard majority vote vs LLR
+    combining; soft must be no worse at the noisy point."""
+    out = tmp_path / "soft.jsonl"
+    r = _run(f"from c_ofdm_tpu.apps.ber_sweep import main;"
+             f"main(['--mods','4','--snrs','9:20:9','--frames','8','--soft',"
+             f"'--out','{out}'])")
+    assert r.returncode == 0, r.stderr
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(rows) == 2
+    noisy = min(rows, key=lambda x: x["snr_db"])
+    assert noisy["ber_hard"] > 0, "SNR point too clean to compare"
+    assert noisy["ber_soft"] <= noisy["ber_hard"]
