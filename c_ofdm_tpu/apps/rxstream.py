@@ -123,6 +123,9 @@ def main(argv=None):
     n_frames = 0
     n_crc_bad = 0
     n_bufs = 0
+    max_seq = None      # metadata drain only: max MAC seq seen (device max)
+    payload_sum = None  # metadata drain only: uint32 payload checksum
+    #                     (documented mod-2^32 wraparound on long runs)
     metrics_rows = []
     t_feed = 0.0       # host read + device staging
     t_drain = 0.0      # blocked on device results
@@ -251,6 +254,7 @@ def main(argv=None):
                 flush()
             vals = jax.device_get(acc)     # THE readback (~32 bytes)
             n_frames, n_crc_bad = int(vals[0]), int(vals[1])
+            max_seq, payload_sum = int(vals[2]), int(vals[3])
         elif args.drain == "metadata":
             z = jnp.int32(0)
             acc = (z, z, jnp.uint32(0), jnp.uint32(0))
@@ -266,6 +270,7 @@ def main(argv=None):
             if acc is not None:
                 vals = jax.device_get(acc)  # THE readback (~32 bytes)
                 n_frames, n_crc_bad = int(vals[0]), int(vals[1])
+                max_seq, payload_sum = int(vals[2]), int(vals[3])
         else:
             pending = None  # (i, StreamOut) of the buffer still computing
             for i, dev_block in enumerate(staged_blocks()):
@@ -305,6 +310,13 @@ def main(argv=None):
         "device_drain_s": round(t_drain, 4),
         "feed_bound": t_feed > 0.5 * wall,
     }
+    if max_seq is not None:
+        # device-side verification tallies (metadata drain): highest MAC seq
+        # accepted, and a mod-2^32 checksum over all CRC-clean payload bytes
+        # (wraps on long runs by design — it is an equality check against a
+        # same-width reference sum, not a byte count)
+        summary["max_seq"] = max_seq
+        summary["payload_checksum_u32"] = payload_sum
     if args.summary_json:
         text = __import__("json").dumps(summary)
         if args.summary_json == "-":

@@ -13,7 +13,7 @@ All shapes derived here are static: under ``jax.jit`` they are trace-time consta
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict
+from typing import Dict, Optional
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,7 +49,7 @@ class ModemConfig:
     cfo_outlier_bins: int = 6    # coarse-CFO per-window outlier rejection
     #                              tolerance (spectrum bins); 0 = exact
     #                              reference mean-of-argmax semantics
-    t2_gate_level: float = None  # streaming sync gate: relaxed detect-ratio
+    t2_gate_level: Optional[float] = None  # streaming sync gate: relaxed detect-ratio
     #                              threshold for the overlapping-window t2
     #                              track that gates the matched filter (the
     #                              confirm threshold stays pr_level); must sit
@@ -99,11 +99,14 @@ class ModemConfig:
             raise ValueError("pr_sin_len must fit inside one OFDM symbol")
         if (self.num_data_subc * self.num_symb * self.mod_type) % 8:
             raise ValueError("frame payload must be a whole number of bytes")
-        if not 0.0 < self.t2_gate_level <= self.t2_sin_level:
+        if not 0.0 < self.t2_gate_level < self.t2_sin_level:
             raise ValueError(
                 f"t2_gate_level ({self.t2_gate_level}) must be in "
-                f"(0, t2_sin_level={self.t2_sin_level}] — the gate is a "
-                f"relaxed pre-filter for the matched filter")
+                f"(0, t2_sin_level={self.t2_sin_level}) — strictly below the "
+                f"detect level, because the overlapping gate windows see at "
+                f"worst ~3/4 of a burst's energy; a gate at or above the "
+                f"detect level silently breaks the 'gate is a relaxation' "
+                f"invariant")
 
     # ---- derived geometry (reference: OFDM/Frame.cpp:4-29,157-232) ----
 

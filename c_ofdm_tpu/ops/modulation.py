@@ -30,16 +30,20 @@ def constellation(mod_type: int) -> np.ndarray:
     idx = np.arange(1 << mod_type)
     re = 2.0 / (side - 1) * (idx % side) - 1.0
     im = 2.0 / (side - 1) * (idx >> (mod_type // 2)) - 1.0
-    return (re + 1j * im) / np.sqrt(2.0)
+    # componentwise division (NOT complex-by-scalar: numpy's complex divide
+    # rounds differently for some entries) so the gather-free arithmetic
+    # ``map_symbols`` is bit-identical to this LUT in float64
+    return re / np.sqrt(2.0) + 1j * (im / np.sqrt(2.0))
 
 
 def map_symbols(symbols: jnp.ndarray, mod_type: int, dtype=jnp.complex64) -> jnp.ndarray:
     """Symbol indices -> constellation points, gather-free.
 
     The square-QAM grid is reconstructed arithmetically with the SAME
-    operation sequence as ``constellation`` (so float64 results are
-    bit-identical to the LUT; float32 may differ by 1 ulp from a
-    compute-in-f64-then-cast table).  The obvious ``table[symbols]`` gather
+    operation sequence as ``constellation`` — both divide the re/im
+    components separately, so float64 results are bit-identical to the LUT
+    for every mod_type (verified 1/2/4/6/8); float32 may differ by 1 ulp
+    from a compute-in-f64-then-cast table.  The obvious ``table[symbols]`` gather
     lowers to a scalar path on TPU that cost ~8 ms for 524k QAM64 symbols —
     93% of the whole wideband TX step (measured round 3, perf_variants
     txmap); the arithmetic form is pure VPU elementwise work."""
@@ -55,7 +59,12 @@ def map_symbols(symbols: jnp.ndarray, mod_type: int, dtype=jnp.complex64) -> jnp
     scale = 2.0 / (side - 1)
     re = scale * (symbols % side).astype(rdt) - 1.0
     im = scale * (symbols >> (mod_type // 2)).astype(rdt) - 1.0
-    return ((re + 1j * im) / np.sqrt(2.0)).astype(dtype)
+    # divide the components separately: numpy's complex-by-real-scalar
+    # division is componentwise, while JAX promotes the scalar to complex
+    # and uses the full complex-division formula (~1 ulp apart for some
+    # mod types) — componentwise keeps the f64 bit-identity to the LUT
+    rt2 = np.asarray(np.sqrt(2.0), dtype=rdt)
+    return ((re / rt2) + 1j * (im / rt2)).astype(dtype)
 
 
 def map_bytes(data: jnp.ndarray, mod_type: int, dtype=jnp.complex64) -> jnp.ndarray:

@@ -129,21 +129,46 @@ def _extract_single_call(xr, xi, starts, win: int, interpret: bool):
     return out[0][:K], out[1][:K]
 
 
-def _extract_multi_call(xr, xi, starts, win: int, interpret: bool):
-    """K windows out of EACH of C capture rows: the proven single-row kernel
-    launched per channel (C is a trace-time constant).
+# flat multi-channel extraction keeps the whole concatenated row in VMEM;
+# cap its footprint (2 f32 planes) well under the chip's ~128 MB VMEM
+_FLAT_MAX_SAMPLES = 8 << 20
 
-    A fused (C, K/8)-grid variant is NOT expressible under Mosaic's tiling
-    rules at these shapes: a (1, n) VMEM block per row violates the
-    (8, 128) sublane tile, C full rows at ring size exceed VMEM, and HBM
-    DMA source slices must be 8-aligned in the sublane dim — all three were
-    hit on real v5e (round 3).  Per-channel launches of the equal-dims
-    (1, n) kernel sidestep every constraint at the cost of C kernel
-    dispatches, which is noise next to the demod that follows."""
-    outs = [_extract_single_call(xr[c], xi[c], starts[c], win, interpret)
-            for c in range(xr.shape[0])]
-    return (jnp.stack([o[0] for o in outs]),
-            jnp.stack([o[1] for o in outs]))
+
+def _extract_multi_call(xr, xi, starts, win: int, interpret: bool):
+    """K windows out of EACH of C capture rows, in ONE kernel launch.
+
+    The C rings are laid end-to-end in a single flat row (each padded by the
+    kernel's 128-lane over-read margin) and the per-ring starts are offset by
+    their ring's base — the proven single-row kernel then extracts all C*K
+    windows in one grid.  Windows never cross ring boundaries: starts are
+    pre-clamped to [0, n-win] per ring, and the widened aligned read tops out
+    at start+win+128 <= n+128 == the ring's padded segment length.
+
+    Round 3's fused (C, K/8)-grid variant hit three Mosaic tiling limits on
+    real v5e — (1, n) VMEM blocks violating the (8, 128) sublane tile, C full
+    ring rows exceeding VMEM, and 8-aligned DMA source-slice rules.
+    Flattening sidesteps all three while still amortizing the launch: the
+    flat row is exactly the single-ring shape the kernel already lowers, just
+    longer.  Measured on v5e at the streaming shape (C=8, n=252 672, K=49,
+    win=896): one launch replaces 8, taking the C=8 sfull stage from
+    ~0.75 ms toward per-channel parity with C=1 (PERF.md round 4).
+
+    Falls back to per-channel launches of the same kernel when the flat row
+    would not fit VMEM (2 f32 planes are kept resident)."""
+    C, n = xr.shape
+    K = starts.shape[1]
+    seg = n + 128
+    if C * seg > _FLAT_MAX_SAMPLES:
+        outs = [_extract_single_call(xr[c], xi[c], starts[c], win, interpret)
+                for c in range(C)]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]))
+    xrf = jnp.pad(xr, ((0, 0), (0, 128))).reshape(C * seg)
+    xif = jnp.pad(xi, ((0, 0), (0, 128))).reshape(C * seg)
+    off = jnp.arange(C, dtype=jnp.int32)[:, None] * seg
+    sf = (starts.astype(jnp.int32) + off).reshape(-1)
+    yr, yi = _extract_single_call(xrf, xif, sf, win, interpret)
+    return yr.reshape(C, K, win), yi.reshape(C, K, win)
 
 
 def _on_tpu() -> bool:

@@ -248,25 +248,34 @@ def main_stream_stages(which):
       ssync  — gated_hits (gate + candidate MF + dedup/compact)
       sdemod — frame extraction gathers + batched demod at fixed positions
       sfull  — full process_buffer (= bench --streaming step)
+
+    PV_CHANNELS=C > 1 runs the same stages on [C]-lead channel-batched rings
+    (the bench.py --channels C workload) — the round-4 tool for locating the
+    C=8 per-channel efficiency loss.
     """
     import bench as benchmod
     from c_ofdm_tpu.models import streaming
     from c_ofdm_tpu.ops import sync as syncops
 
+    C = int(os.environ.get("PV_CHANNELS", 1))
     spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64,
                            fft_backend="matmul")
     cfg = spec.cfg
     S = 4
     max_frames = cfg.rx_buf_size + 1
+    buf_len_ = cfg.rx_buf_size * cfg.frame_len
     pools = []
     for r in range(REPS):
-        rings, n_frames = benchmod._make_rings(spec, S, seed=r)
+        rings, n_frames = benchmod._make_rings(spec, S * C, seed=r)
         iq = np.stack([rings.real, rings.imag], axis=-1).astype(np.float32)
+        if C > 1:
+            iq = iq.reshape(C, S, buf_len_, 2).transpose(1, 0, 2, 3).copy()
         pools.append(jnp.asarray(iq))
 
     def to_ring(p):
         blk = p[..., 0] + 1j * p[..., 1]
-        return jnp.concatenate([jnp.zeros((cfg.frame_len,), blk.dtype), blk])
+        zeros = jnp.zeros((*blk.shape[:-1], cfg.frame_len), blk.dtype)
+        return jnp.concatenate([zeros, blk], axis=-1)
 
     def sgate(p):
         return syncops.t2_ratio_track_hop(spec, to_ring(p)).sum()
