@@ -48,6 +48,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 BASELINE_SAMPLES_PER_S = 25.0e6
 
+# BASELINE config #3's largest geometry (8k-FFT QAM64) — shared with
+# perf/tpu_wideband.py.  Backend/batch choices are measured per geometry:
+# XLA FFT beats the partial matmul-DFT at 8k (the reverse of the 512-pt
+# flagship), and B=128 is the wideband throughput sweet spot (B=64 is
+# latency-bound, B=256 regresses — PERF.md round 4).
+WIDEBAND = dict(fft_size=8192, num_data_subc=4096, num_pilot_subc=32,
+                cp_size=1024, num_symb=2, pr_sin_len=512, mod_type=6)
+
 
 def build_runner(spec, K):
     from c_ofdm_tpu.models import rx as rxm
@@ -122,6 +130,17 @@ def bench_batch(B=256, K=8, k_lo=4, k_hi=100, reps=4, rounds=5, cfg=None,
         "unit": "samples/s",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_S, 3),
     }
+
+
+def bench_wideband(rounds=3):
+    """Wideband 8k-FFT QAM64 full TX+RX chain (BASELINE config #3's largest
+    geometry) — same marginal-time method; see WIDEBAND for the
+    backend/batch rationale."""
+    from c_ofdm_tpu import ModemConfig
+    return bench_batch(B=128, k_lo=4, k_hi=36, reps=3, rounds=rounds,
+                       cfg=ModemConfig(**WIDEBAND),
+                       metric="ofdm_wideband_samples_per_s_per_chip",
+                       fft_backend="xla")
 
 
 def _make_rings(spec, n_rings, seed, fill=0.8):
@@ -224,6 +243,8 @@ def main():
                    help="bench ONLY the production streaming ring path")
     p.add_argument("--batch", action="store_true",
                    help="bench ONLY the batch path")
+    p.add_argument("--wideband", action="store_true",
+                   help="bench ONLY the wideband 8k-QAM64 geometry")
     p.add_argument("--sync-mode", choices=("gated", "dense"),
                    default="gated", help="streaming sync variant to A/B")
     p.add_argument("--channels", type=int, default=1,
@@ -237,6 +258,9 @@ def main():
     if args.batch:
         print(json.dumps(bench_batch()))
         return
+    if args.wideband:
+        print(json.dumps(bench_wideband()))
+        return
     # default (the driver command): every official metric, one JSON line
     # each, flagship batch number LAST (the driver parses the tail line).
     # Streaming = the reference's real workload (rx.cpp:94-237): 41-frame
@@ -246,7 +270,8 @@ def main():
     for extra in (lambda: bench_streaming(rounds=3),
                   lambda: bench_streaming(
                       channels=8, k_hi=30, rounds=3,
-                      metric="ofdm_streaming_8ch_samples_per_s_per_chip")):
+                      metric="ofdm_streaming_8ch_samples_per_s_per_chip"),
+                  bench_wideband):
         try:
             print(json.dumps(extra()), flush=True)
         except Exception as e:                      # noqa: BLE001

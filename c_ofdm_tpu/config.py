@@ -60,6 +60,21 @@ class ModemConfig:
     #                              configs (T2_sin_level < 400) stay valid
     #                              without a file key, and the gate is always
     #                              a true relaxation of the detect level.
+    sync_peak_refine: Optional[bool] = None  # preamble timing = local MF
+    #                              peak instead of threshold-crossing + 1.
+    #                              The reference's empirical +1 (`rx.cpp:158`)
+    #                              is calibrated for pr_level=0.5, where the
+    #                              crossing lands one lag BEFORE the peak; at
+    #                              raised thresholds the crossing lands ON
+    #                              the peak and a blind +1 syncs one sample
+    #                              late (non-cyclic FFT windows -> QAM64+
+    #                              corner errors — round-4 geometry-sweep
+    #                              find).  None (default) = auto: refine
+    #                              exactly when pr_level > 0.55, so stock
+    #                              configs keep bit-exact reference position
+    #                              parity on the golden artifacts (preamble
+    #                              11040) and raised-threshold configs get
+    #                              correct peak timing.
     t2_gate_slack: int = 8       # extra gate-edge candidates beyond
     #                              max_frames in the gated streaming sync:
     #                              spurious rising edges (interference, noise
@@ -107,6 +122,13 @@ class ModemConfig:
                 f"worst ~3/4 of a burst's energy; a gate at or above the "
                 f"detect level silently breaks the 'gate is a relaxation' "
                 f"invariant")
+
+    @property
+    def peak_refine(self) -> bool:
+        """Effective sync_peak_refine (None resolves to pr_level > 0.55)."""
+        if self.sync_peak_refine is None:
+            return self.pr_level > 0.55
+        return self.sync_peak_refine
 
     # ---- derived geometry (reference: OFDM/Frame.cpp:4-29,157-232) ----
 

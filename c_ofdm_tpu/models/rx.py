@@ -77,11 +77,20 @@ class SyncResult(NamedTuple):
 def synchronize(spec: FrameSpec, capture: jnp.ndarray,
                 start: jnp.ndarray = 0) -> SyncResult:
     """Single-frame sync per `main.cpp:50-58`: coarse detect from ``start``,
-    preamble search in the following sync window, +1 empirical offset.
-    capture [n] (single stream — vmap over leading dims for batches)."""
+    preamble search in the following sync window, +1 empirical offset —
+    replaced by the actual local correlation peak when the config's
+    ``peak_refine`` is in effect (raised thresholds; see
+    `sync.first_above_peak` / ModemConfig.sync_peak_refine).
+    capture [n] (vmap over leading dims for batches)."""
     t2_begin, t2_found = sync.find_t2sin(spec, capture, start)
-    pr, pr_found = sync.find_preamble(spec, capture, jnp.maximum(t2_begin, 0))
-    pr_begin = pr + 1
+    if spec.cfg.peak_refine:
+        pr, pr_found = sync.find_preamble_peak(spec, capture,
+                                               jnp.maximum(t2_begin, 0))
+        pr_begin = jnp.where(pr_found, pr, pr + 1)  # not-found: -9 contract
+    else:
+        pr, pr_found = sync.find_preamble(spec, capture,
+                                          jnp.maximum(t2_begin, 0))
+        pr_begin = pr + 1
     found = jnp.logical_and(t2_found, pr_found)
     frame_start = jnp.where(found, pr_begin - spec.cfg.t2sin_size, 0)
     frame_start = jnp.maximum(frame_start, 0)

@@ -91,7 +91,9 @@ def extract_hits(spec: FrameSpec, score: jnp.ndarray, min_pos: jnp.ndarray,
     after the cursor, then advance the cursor by ``message_len``
     (`rx.cpp:158-198` advance rule).  Returns (positions [max_frames],
     valid [max_frames]).  Positions carry the reference's +1 quirk
-    (`main.cpp:53`, `rx.cpp:158`)."""
+    (`main.cpp:53`, `rx.cpp:158`), or the local correlation peak when the
+    config's ``peak_refine`` is in effect (raised thresholds — see
+    sync.first_above_peak)."""
     n = score.shape[-1]
     lags = jnp.arange(n, dtype=jnp.int32)
     hit = score > spec.cfg.pr_level
@@ -99,13 +101,25 @@ def extract_hits(spec: FrameSpec, score: jnp.ndarray, min_pos: jnp.ndarray,
     # frame spans [p+1-t2sin, p+1-t2sin+frame_len)
     last_ok = n - spec.cfg.frame_len + spec.cfg.t2sin_size - 1
     hit = jnp.logical_and(hit, lags <= last_ok)
+    # scores for the peak refinement: decodable lags only, so the refined
+    # position can never step past last_ok
+    score_ok = jnp.where(lags <= last_ok, score, 0.0)
+
+    refine = spec.cfg.peak_refine
 
     def body(k, carry):
         cursor, pos_arr, val_arr = carry
         cand = jnp.logical_and(hit, lags >= cursor)
         idx = jnp.argmax(cand)
         found = jnp.any(cand)
-        pos = jnp.where(found, idx + 1, -1).astype(jnp.int32)  # +1 quirk
+        if refine:
+            # crossing -> local peak (see sync.first_above_peak)
+            vals = jnp.stack([score_ok[jnp.clip(idx + j, 0, n - 1)]
+                              for j in range(3)])
+            pos = jnp.where(found, idx + jnp.argmax(vals).astype(jnp.int32),
+                            -1).astype(jnp.int32)
+        else:
+            pos = jnp.where(found, idx + 1, -1).astype(jnp.int32)  # +1 quirk
         new_cursor = jnp.where(found, pos + spec.cfg.message_len, n).astype(jnp.int32)
         pos_arr = pos_arr.at[k].set(pos)
         val_arr = val_arr.at[k].set(found)
@@ -152,8 +166,9 @@ def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
     a frame whose burst the detector misses is skipped (as the reference
     would), instead of being rescued by its preamble correlation alone.
 
-    Returns (positions [max_frames], valid [max_frames]), positions carrying
-    the reference's +1 quirk — the same contract as ``extract_hits``.
+    Returns (positions [max_frames], valid [max_frames]), positions with
+    the reference's +1 quirk (or the local peak under ``peak_refine``) —
+    the same contract as ``extract_hits``.
     """
     cfg = spec.cfg
     lead = ring.shape[:-1]            # () or [C] — channel-batched rings
@@ -206,8 +221,15 @@ def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
                              lags <= last_ok)
     scores = jnp.where(jnp.logical_and(ok_lag, cand_valid[..., None]),
                        scores, 0.0)
-    rel, found = sync.first_above(scores, cfg.pr_level)
-    pr = jnp.where(found, start + rel + 1, -1).astype(jnp.int32)  # +1 quirk
+    if cfg.peak_refine:
+        # crossing refined to the local score peak (sync.first_above_peak):
+        # the true alignment when a raised threshold makes the crossing
+        # land ON the peak (round-4 geometry-sweep find)
+        rel, found = sync.first_above_peak(scores, cfg.pr_level)
+        pr = jnp.where(found, start + rel, -1).astype(jnp.int32)
+    else:
+        rel, found = sync.first_above(scores, cfg.pr_level)
+        pr = jnp.where(found, start + rel + 1, -1).astype(jnp.int32)  # +1 quirk
 
     # reference advance rule (next accepted preamble at least message_len
     # past the previous, rx.cpp:198) over the position-ordered candidates.

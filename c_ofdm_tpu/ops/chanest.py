@@ -58,6 +58,11 @@ def bins_transform(spec, time_syms: jnp.ndarray):
         y = fftops.complex_matmul(time_syms, w, bf16=backend.endswith("bf16"))
         return y[..., :P], y[..., P:]
     freq = fftops.fft_fwd(time_syms, backend)
+    if _structured(spec):
+        # gather-free structured split (slices/reshapes only): XLA lowers
+        # freq[..., bins] at wideband sizes to the same scalar gather path
+        # as the round-3 constellation-map find
+        return rx_split_bins(spec, freq)
     return (freq[..., jnp.asarray(spec.pilot_bins)],
             freq[..., jnp.asarray(spec.data_bins)])
 
@@ -94,6 +99,78 @@ def _tx_bin_maps(spec):
     src[spec.pilot_bins] = 0                                            # pilot slot
     src[spec.data_bins] = 1 + np.arange(cfg.num_data_subc, dtype=np.int32)
     return src
+
+
+@functools.lru_cache(maxsize=16)
+def _layout_is_structured(fft_size: int, seg: int, step: int, half: int,
+                          pilot_bins: tuple, data_bins: tuple) -> bool:
+    """True when (pilot_bins, data_bins) follow the canonical segment layout
+    (`OFDM/Frame.cpp:31-44` semantics, oracle.subcarrier_maps): lower half =
+    ``half`` repeats of [seg data | pilot] from bin 1, upper half = ``half``
+    repeats of [pilot | seg data] ending at bin fft_size-1, guard between.
+    Always true for specs built by make_frame_spec; checked so the
+    structured (gather-free) TX/RX bin paths can never silently diverge."""
+    p, d = [], []
+    pos = 1 + seg
+    for _ in range(half):
+        p.append(pos)
+        d.extend(range(pos - seg, pos))
+        pos += step
+    pos = fft_size - step * half
+    for _ in range(half):
+        p.append(pos)
+        d.extend(range(pos + 1, pos + 1 + seg))
+        pos += step
+    return (tuple(p) == tuple(pilot_bins)
+            and tuple(d) == tuple(data_bins))
+
+
+def _structured(spec) -> bool:
+    cfg = spec.cfg
+    return _layout_is_structured(
+        cfg.fft_size, cfg.segment_size, cfg.segment_step,
+        cfg.num_pilot_subc // 2, tuple(int(b) for b in spec.pilot_bins),
+        tuple(int(b) for b in spec.data_bins))
+
+
+def tx_assemble_freq(spec, data: jnp.ndarray) -> jnp.ndarray:
+    """Segment-order data points [..., nsym, D] -> full TX spectrum
+    [..., nsym, fft_size] by pure reshape/concat (NO gather: XLA lowers the
+    bin-map gather of a large spectrum to a scalar path on TPU — the same
+    pathology as the round-3 constellation-map gather, costing most of the
+    wideband TX step at 8k).  Exactly equal to
+    ``lookup[..., _tx_bin_maps(spec)]`` for the canonical layout."""
+    cfg = spec.cfg
+    lead = data.shape[:-1]
+    half = cfg.num_pilot_subc // 2
+    seg, step = cfg.segment_size, cfg.segment_step
+    dt = data.dtype
+    dl = data[..., :half * seg].reshape(*lead, half, seg)
+    du = data[..., half * seg:].reshape(*lead, half, seg)
+    pil = jnp.full((*lead, half, 1), cfg.pilot_ampl, dtype=dt)
+    lower = jnp.concatenate([dl, pil], axis=-1).reshape(*lead, half * step)
+    upper = jnp.concatenate([pil, du], axis=-1).reshape(*lead, half * step)
+    guard = cfg.fft_size - 1 - 2 * half * step
+    z1 = jnp.zeros((*lead, 1), dtype=dt)
+    zg = jnp.zeros((*lead, guard), dtype=dt)
+    return jnp.concatenate([z1, lower, zg, upper], axis=-1)
+
+
+def rx_split_bins(spec, freq: jnp.ndarray):
+    """Full spectrum [..., fft_size] -> (pilot [..., P], data [..., D] in
+    segment order) by pure slicing/reshape — the gather-free inverse of
+    ``tx_assemble_freq`` (same TPU-gather pathology on the RX side)."""
+    cfg = spec.cfg
+    lead = freq.shape[:-1]
+    half = cfg.num_pilot_subc // 2
+    seg, step = cfg.segment_size, cfg.segment_step
+    lower = freq[..., 1:1 + half * step].reshape(*lead, half, step)
+    upper = freq[..., cfg.fft_size - half * step:].reshape(*lead, half, step)
+    pil = jnp.concatenate([lower[..., seg], upper[..., 0]], axis=-1)
+    data = jnp.concatenate([lower[..., :seg].reshape(*lead, half * seg),
+                            upper[..., 1:].reshape(*lead, half * seg)],
+                           axis=-1)
+    return pil, data
 
 
 @functools.lru_cache(maxsize=16)
@@ -141,11 +218,15 @@ def ofdm_modulate(spec, points: jnp.ndarray, num_symb: int) -> jnp.ndarray:
         time = fftops.complex_matmul(data, w, bf16=backend.endswith("bf16"))
         time = time + jnp.asarray(pilot_time, dtype=time.dtype)
     else:
-        pilot = jnp.full((*lead, num_symb, 1), cfg.pilot_ampl,
-                         dtype=points.dtype)
-        zero = jnp.zeros((*lead, num_symb, 1), dtype=points.dtype)
-        lookup = jnp.concatenate([pilot, data, zero], axis=-1)
-        freq = lookup[..., jnp.asarray(_tx_bin_maps(spec))]
+        if _structured(spec):
+            # gather-free structured spectrum assembly (see tx_assemble_freq)
+            freq = tx_assemble_freq(spec, data)
+        else:
+            pilot = jnp.full((*lead, num_symb, 1), cfg.pilot_ampl,
+                             dtype=points.dtype)
+            zero = jnp.zeros((*lead, num_symb, 1), dtype=points.dtype)
+            lookup = jnp.concatenate([pilot, data, zero], axis=-1)
+            freq = lookup[..., jnp.asarray(_tx_bin_maps(spec))]
         time = fftops.ifft_unnorm(freq, backend) / np.sqrt(cfg.fft_size)
     return jnp.concatenate([time[..., -cfg.cp_size:], time], axis=-1)
 

@@ -108,6 +108,38 @@ def first_above(track: jnp.ndarray, level: float) -> tuple[jnp.ndarray, jnp.ndar
     return jnp.where(found, idx, -1), found
 
 
+def first_above_peak(track: jnp.ndarray, level: float, radius: int = 2):
+    """First threshold crossing, refined to the local score peak within
+    ``radius`` lags: returns (peak_idx, found), (-1, False) if none.
+
+    The reference applies an empirical +1 to the crossing lag
+    (`rx.cpp:158`, `main.cpp:53`), which calibrates out the fact that at
+    the stock pr_level=0.5 the normalized matched filter crosses the
+    threshold one lag BEFORE its peak (the peak is exact preamble
+    alignment).  At higher thresholds — or high pilot-energy geometries —
+    the crossing lands ON the peak, and a blind +1 then syncs one sample
+    late: the symbol FFT windows lose cyclicity and QAM64+ frames take
+    deterministic corner errors (found by the round-4 geometry sweep).
+    Taking the argmax over [crossing, crossing+radius] returns the true
+    peak in every regime.  Engaged per-config via ModemConfig.peak_refine
+    (auto: pr_level > 0.55) — NOT at the stock threshold, where the
+    committed OTA capture's peak sits at 11039 (score 0.68) while the
+    reference's crossing+1 lands at 11040 (score 0.45): the reference
+    decodes anyway because the linear-phase equalizer absorbs one sample,
+    and keeping its exact position preserves artifact-level golden parity
+    (constell.bin / phases.bin are tied to the 11040 window).
+    """
+    idx, found = first_above(track, level)
+    c = jnp.maximum(idx, 0)
+    n = track.shape[-1]
+    vals = jnp.stack(
+        [jnp.take_along_axis(track, jnp.clip(c + j, 0, n - 1)[..., None],
+                             axis=-1)[..., 0]
+         for j in range(radius + 1)], axis=-1)
+    best = jnp.argmax(vals, axis=-1).astype(idx.dtype)
+    return jnp.where(found, c + best, idx), found
+
+
 def find_t2sin(spec, capture: jnp.ndarray, start: jnp.ndarray = 0,
                backend: str = "partial"):
     """Sample index of the first detected block at/after ``start`` (blocks
@@ -323,4 +355,15 @@ def find_preamble(spec, capture: jnp.ndarray, start: jnp.ndarray):
     `OFDM/Frame.cpp:338-378`).  Returns (position, found)."""
     track = preamble_corr_track(spec, capture, start)
     idx, found = first_above(track, spec.cfg.pr_level)
+    return jnp.where(found, idx + start, -10), found
+
+
+def find_preamble_peak(spec, capture: jnp.ndarray, start: jnp.ndarray):
+    """Like ``find_preamble`` but returns the local correlation PEAK at/after
+    the first crossing (``first_above_peak``) — the production timing, equal
+    to the reference's crossing+1 in its calibrated regime and one sample
+    more accurate outside it.  Returns (peak position, found); the caller
+    must NOT re-apply the +1 quirk."""
+    track = preamble_corr_track(spec, capture, start)
+    idx, found = first_above_peak(track, spec.cfg.pr_level)
     return jnp.where(found, idx + start, -10), found

@@ -293,6 +293,7 @@ def main_stream_stages(which):
         starts = (jnp.arange(max_frames, dtype=jnp.int32)
                   * (ring.shape[-1] // max_frames))
         starts = jnp.clip(starts, 0, ring.shape[-1] - cfg.frame_len)
+        starts = jnp.broadcast_to(starts, (*ring.shape[:-1], max_frames))
         sigs = rxm.extract_sigs_ring(spec, ring, starts)
         res = rxm.demod_sig(spec, sigs)
         return res.mac_bytes.astype(jnp.float32).sum()
@@ -343,9 +344,9 @@ def main_stream_stages(which):
         return slot.sum().astype(jnp.float32)
 
     def sfull(p):
-        st0 = streaming.init_state(spec)
+        st0 = streaming.init_state(spec, channels=C if C > 1 else 0)
         _, out = streaming.process_buffer(spec, st0, p, max_frames)
-        return (out.num_found.astype(jnp.float32)
+        return (out.num_found.astype(jnp.float32).sum()
                 + out.mac_bytes.astype(jnp.float32).sum())
 
     step = {"sgate": sgate, "ssync": ssync, "sdemod": sdemod,

@@ -90,23 +90,64 @@ def main():
     assert bool(crc_ok.reshape(-1)[k])
     print(f"  payload OK on TPU via shard_map: {got[8:46]!r}...", flush=True)
 
-    # per-step time (distinct inputs defeat relay memoization)
-    def timed(k_reps):
-        best = float("inf")
-        for r in range(3):
-            scaled = raw * np.float32(1.0 + 1e-6 * r)
-            t0 = time.perf_counter()
-            for _ in range(k_reps):
-                out = step(scaled)
-            jax.tree.map(np.asarray, out)
-            best = min(best, time.perf_counter() - t0)
-        return best
+    # amortized per-step time (round-4 verdict task 5): the same device-side
+    # fori_loop marginal-time harness as bench.py — a traced trip count and
+    # distinct per-step inputs — so the ~30-50 ms relay dispatch RTT that the
+    # old back-to-back-dispatch measurement bundled in (0.627 ms/step, round
+    # 3) is amortized away.  An unsharded process_buffer step runs in the
+    # SAME harness in the same window, so the reported shard_map overhead is
+    # window-drift-free.
+    from c_ofdm_tpu.models import streaming
 
-    t_lo, t_hi = timed(2), timed(12)
-    per = (t_hi - t_lo) / 10
-    print(f"  sharded per-step: {per*1e3:.3f} ms "
-          f"({cap.size/per/1e6:.0f} Msamples/s on the {{1,1}} mesh; compare "
-          f"bench --streaming per-buffer for shard_map overhead)", flush=True)
+    S = 4
+    pool_np = np.stack([np.stack([cap.real, cap.imag], -1)
+                        .astype(np.float32) * np.float32(1.0 + 1e-6 * r)
+                        for r in range(S)])               # [S, n, 2]
+    pool = jnp.asarray(pool_np)
+
+    def run_sharded(p, k):
+        def body(i, acc):
+            c = (p[i % S, ..., 0] + 1j * p[i % S, ..., 1]).astype(spec.dtype)
+            out = recv(c[None])
+            return (acc + out.num_found.sum().astype(jnp.uint32)
+                    + jnp.where(out.valid, out.positions, 0)
+                    .sum().astype(jnp.uint32))
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+    def run_plain(p, k):
+        def body(i, acc):
+            st0 = streaming.init_state(spec)
+            _, out = streaming.process_buffer(spec, st0, p[i % S], 8)
+            return (acc + out.num_found.astype(jnp.uint32)
+                    + jnp.where(out.valid, out.positions, 0)
+                    .sum().astype(jnp.uint32))
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+    results = {}
+    for name, fn in (("sharded{1,1}", run_sharded), ("plain", run_plain)):
+        f = jax.jit(fn)
+        t0 = time.perf_counter()
+        float(f(pool, 1))
+        print(f"  {name}: compile {time.perf_counter()-t0:.0f}s", flush=True)
+
+        def timed(k):
+            best = float("inf")
+            for r in range(3):
+                p = pool * np.float32(1.0 + 1e-7 * r)
+                t0 = time.perf_counter()
+                float(f(p, k))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        # the golden-ring step is light (~0.1 ms), so the trip-count spread
+        # must be large enough that the marginal dwarfs dispatch RTT noise
+        per = min((timed(1000) - timed(10)) / 990 for _ in range(3))
+        results[name] = per
+        print(f"  {name}: marginal {per*1e3:.3f} ms/step "
+              f"({cap.size/per/1e6:.0f} Msamples/s)", flush=True)
+    ovh = results["sharded{1,1}"] / results["plain"] - 1.0
+    print(f"  shard_map overhead vs plain (same window, amortized): "
+          f"{100*ovh:+.1f}%", flush=True)
     print("TPU SHARDED: ALL OK", flush=True)
     return 0
 

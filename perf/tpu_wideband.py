@@ -31,8 +31,9 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
-WIDEBAND = dict(fft_size=8192, num_data_subc=4096, num_pilot_subc=32,
-                cp_size=1024, num_symb=2, pr_sin_len=512, mod_type=6)
+import bench as _bench
+WIDEBAND = _bench.WIDEBAND   # single source of truth (bench.py emits the
+#                              driver-recorded wideband metric since round 4)
 
 
 def main():
