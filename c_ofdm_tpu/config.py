@@ -214,6 +214,7 @@ class ModemConfig:
             "T2_sin_level": round(self.t2_sin_level * 1000),
             "T2_gate_level": round(self.t2_gate_level * 1000),
             "T2_gate_slack": self.t2_gate_slack,
+            "sync_peak_refine": int(self.peak_refine),
             "smooth": self.smooth,
             "modType": self.mod_type,
             "pilot_ampl": round(self.pilot_ampl * 1000),
@@ -242,6 +243,7 @@ _KEY_MAP = {
     "T2_sin_f1": "t2_sin_f1",
     "T2_sin_f2": "t2_sin_f2",
     "T2_gate_slack": "t2_gate_slack",
+    "sync_peak_refine": "sync_peak_refine",
     "smooth": "smooth",
     "modType": "mod_type",
     "bw_hz": "bw_hz",

@@ -117,6 +117,46 @@ def _out_tree_proto():
     return streaming.StreamOut(0, 0, 0, 0, 0, 0)
 
 
+def make_sharded_streaming(spec: FrameSpec, mesh, max_frames: int,
+                           sync_mode: str = "gated"):
+    """Channel-sharded CONTINUOUS streaming: C channel streams distributed
+    over the mesh's ``channel`` axis, every device running the same fused
+    ``streaming.process_buffer`` step on its local channels with its local
+    carry state — the multi-chip form of `bench.py --channels C`.
+
+    Unlike ``make_sharded_receiver`` (bulk decode of one long capture,
+    time-sharded with a halo exchange), the streaming step's time dimension
+    IS the buffer sequence, so only the channel axis shards; the per-buffer
+    overlap-save carry stays device-local inside the sharded state and
+    ZERO collectives run per buffer.  Returned callable:
+    ``step(state, block) -> (state, StreamOut)`` where every array carries
+    a leading [C] axis laid out over the mesh channel axis; thread the
+    state exactly as with the unsharded ``process_buffer``
+    (``init_state(spec, channels=C)`` then device_put against the channel
+    sharding, or let jit lay it out on first call).
+
+    Reference counterpart of the semantics: C concurrent instances of the
+    rx.cpp main loop; the distribution itself is green-field (SURVEY §5.7).
+    """
+    pspec = P(CHANNEL_AXIS)
+
+    def step(state: streaming.StreamState, block: jnp.ndarray):
+        def per_shard(st, blk):
+            return streaming.process_buffer(spec, st, blk, max_frames,
+                                            sync_mode)
+
+        state_specs = jax.tree.map(lambda _: pspec,
+                                   streaming.StreamState(0, 0, 0, 0))
+        out_specs = (state_specs, jax.tree.map(lambda _: pspec,
+                                               _out_tree_proto()))
+        return shard_map(per_shard, mesh=mesh,
+                         in_specs=(state_specs, pspec),
+                         out_specs=out_specs,
+                         check_vma=False)(state, block)
+
+    return jax.jit(step)
+
+
 def global_positions(spec: FrameSpec, out: streaming.StreamOut,
                      block_len: int):
     """Convert block-local preamble positions to capture-global ones."""

@@ -90,6 +90,35 @@ def main():
     assert bool(crc_ok.reshape(-1)[k])
     print(f"  payload OK on TPU via shard_map: {got[8:46]!r}...", flush=True)
 
+    # channel-sharded CONTINUOUS streaming on the chip: same golden ring fed
+    # as one buffer through make_sharded_streaming on a {channel:1} mesh —
+    # state-threaded shard_map around process_buffer must decode identically
+    from c_ofdm_tpu.models import streaming
+
+    stream_step = sharded.make_sharded_streaming(spec, mesh, 8)
+
+    @jax.jit
+    def sstep(raw):
+        st0 = streaming.init_state(spec, channels=1)
+        c = (raw[..., 0] + 1j * raw[..., 1]).astype(spec.dtype)
+        st, out = stream_step(st0, c)
+        frs = mac.read_soft(out.diag)
+        return out.positions, out.valid, frs.payload, frs.valid
+
+    t0 = time.perf_counter()
+    spos, svalid, spl, sok = jax.tree.map(np.asarray, sstep(raw))
+    print(f"sharded streaming step: compile+run {time.perf_counter()-t0:.0f}s",
+          flush=True)
+    shits = spos[svalid]
+    # ring = carry(frame_len zeros) + capture, so positions sit one
+    # frame_len above the bulk receiver's block-local ones
+    assert 11040 + cfg.frame_len in shits.tolist(), shits
+    k = np.nonzero(svalid.reshape(-1))[0][0]
+    got_s = spl.reshape(-1, spl.shape[-1])[k].tobytes()
+    assert got_s == want[:len(got_s)] and bool(sok.reshape(-1)[k])
+    print(f"  sharded STREAMING payload OK on TPU: {got_s[8:40]!r}...",
+          flush=True)
+
     # amortized per-step time (round-4 verdict task 5): the same device-side
     # fori_loop marginal-time harness as bench.py — a traced trip count and
     # distinct per-step inputs — so the ~30-50 ms relay dispatch RTT that the

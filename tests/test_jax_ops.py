@@ -139,3 +139,36 @@ def test_matched_filter_toeplitz_matches_fft(spec128):
     norm = np.pad(ce[:, L:] - ce[:, :768 + 1 - L], ((0, 0), (0, L - 1)))[:, :768]
     ref = np.where(norm > 1.0, corr / np.sqrt(np.maximum(norm, 1e-30)), 0.0)
     assert np.abs(got - ref).max() < 1e-12
+
+
+def test_first_above_peak_semantics():
+    """Crossing-at-peak vs crossing-before-peak (the round-4 sweep find):
+    first_above_peak returns the local score maximum in both regimes, and
+    the config's auto rule engages it exactly above the reference's
+    calibration point."""
+    import jax.numpy as jnp
+    from c_ofdm_tpu.config import ModemConfig
+
+    # calibrated regime: crossing one lag before the peak -> peak = c+1
+    t = jnp.asarray([0.1, 0.2, 0.6, 0.9, 0.4, 0.1])
+    idx, found = sync.first_above(t, 0.5)
+    pidx, pfound = sync.first_above_peak(t, 0.5)
+    assert bool(found) and int(idx) == 2
+    assert bool(pfound) and int(pidx) == 3          # == crossing + 1
+    # raised threshold: crossing lands ON the peak -> blind +1 would be late
+    idx2, _ = sync.first_above(t, 0.85)
+    pidx2, _ = sync.first_above_peak(t, 0.85)
+    assert int(idx2) == 3 and int(pidx2) == 3       # peak, not 4
+    # no hit
+    pidx3, pfound3 = sync.first_above_peak(t, 0.95)
+    assert not bool(pfound3) and int(pidx3) == -1
+    # batch axis
+    tb = jnp.stack([t, t[::-1]])
+    pb, fb = sync.first_above_peak(tb, 0.5)
+    assert fb.tolist() == [True, True] and pb.tolist() == [3, 2]
+
+    # config auto rule: the +1 quirk is calibrated for pr_level 0.5
+    assert ModemConfig().peak_refine is False
+    assert ModemConfig(pr_level=0.65).peak_refine is True
+    assert ModemConfig(sync_peak_refine=True).peak_refine is True
+    assert ModemConfig(pr_level=0.7, sync_peak_refine=False).peak_refine is False

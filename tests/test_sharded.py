@@ -161,3 +161,48 @@ def test_make_global_capture_sharding(spec64, cfg, mesh8):
     for a, b in zip(jax.tree.leaves(out_sharded), jax.tree.leaves(out_plain)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(out_sharded.num_found.sum()) == 2 * len(starts)
+
+
+def test_sharded_streaming_matches_unsharded(spec64, cfg):
+    """Channel-sharded CONTINUOUS streaming (make_sharded_streaming): 4
+    channel streams over a 4-device channel mesh, two consecutive buffers
+    with a boundary-straddling frame per channel — state threading and
+    decode must match the unsharded [C]-batched process_buffer exactly."""
+    from c_ofdm_tpu.models import streaming
+    from c_ofdm_tpu.parallel.sharded import make_sharded_streaming
+
+    C = 4
+    mesh = make_modem_mesh(n_channel=4, n_time=1)
+    buf_len = 6 * cfg.frame_len
+    # per channel: one frame mid-buffer-0, one straddling the buffer
+    # boundary, one mid-buffer-1
+    starts = [500, buf_len - cfg.frame_len // 2, buf_len + 2 * cfg.frame_len]
+    sigs, payloads = [], []
+    for c in range(C):
+        sig, pls, mac = _build_capture(spec64, cfg, len(starts), 2 * buf_len,
+                                       starts, seed=100 + c)
+        sigs.append(sig)
+        payloads.append(pls)
+    blocks = np.stack(sigs).reshape(C, 2, buf_len).transpose(1, 0, 2)
+
+    max_frames = 8
+    step = make_sharded_streaming(spec64, mesh, max_frames)
+    st_sh = streaming.init_state(spec64, channels=C)
+    st_pl = streaming.init_state(spec64, channels=C)
+    for b in range(2):
+        blk = jnp.asarray(blocks[b])
+        st_sh, out_sh = step(st_sh, blk)
+        st_pl, out_pl = streaming.process_buffer(spec64, st_pl, blk,
+                                                 max_frames)
+        v_sh = np.asarray(out_sh.valid)
+        v_pl = np.asarray(out_pl.valid)
+        assert np.array_equal(v_sh, v_pl), f"buffer {b} validity"
+        assert np.array_equal(np.asarray(out_sh.positions)[v_sh],
+                              np.asarray(out_pl.positions)[v_pl])
+        assert np.array_equal(np.asarray(out_sh.mac_bytes),
+                              np.asarray(out_pl.mac_bytes))
+    # all 3 frames per channel decoded across the two buffers (incl. the
+    # straddler via the carry halo), threading sharded state exactly once
+    assert int(np.asarray(st_sh.frames_seen).sum()) == 3 * C
+    assert np.array_equal(np.asarray(st_sh.frames_seen),
+                          np.asarray(st_pl.frames_seen))
