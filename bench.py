@@ -24,7 +24,10 @@ Measurement notes for this environment: the TPU sits behind a relay where
 identical dispatches are memoized, and (c) block_until_ready is unreliable.
 So: ONE executable total — a device-side fori_loop whose trip count is a
 *traced* argument — timed at two trip counts with distinct per-step inputs
-(step i consumes pool[i mod K]), forced host readback of a data-dependent
+(step i consumes pool[i mod K]), a FRESH salt scalar folded into every
+dispatch (without it, measurement rounds reusing the same (pool, k) pairs
+degenerate to memoized replies — observed as an impossible >fp32-peak
+0.011 ms/buffer in round 4), forced host readback of a data-dependent
 checksum, and the marginal time (t_hi - t_lo)/(k_hi - k_lo) reported.
 Relay-window quality drifts minute-to-minute (shared tenancy), so several
 measurement rounds run and the best marginal estimate is kept; the
@@ -70,25 +73,36 @@ def build_runner(spec, K):
         return (res.mac_bytes.astype(jnp.uint32).sum()
                 + s.found.sum().astype(jnp.uint32))
 
-    def run(pool, k):
+    def run(pool, k, salt):
         def body(i, acc):
             return acc + step(pool[i % K])
-        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+        return jax.lax.fori_loop(0, k, body, salt)
 
     return jax.jit(run)
 
 
 def measure(f, pools, k_lo, k_hi, rounds):
+    """f(pool, k, salt) -> scalar.  The ``salt`` scalar folds into the
+    checksum and takes a FRESH value on every dispatch: the relay memoizes
+    repeated identical dispatches, and without the salt the measurement
+    rounds (which reuse the same (pool, k) pairs) degenerate to cached
+    replies — observed as a physically impossible 0.011 ms/buffer
+    (> fp32 peak) with an 8x round spread in round 4."""
+    salt = iter(range(1, 1 << 30))
+
+    def call(p, k):
+        return float(f(p, k, jnp.uint32(next(salt))))
+
     t0 = time.perf_counter()
-    float(f(pools[0], 1))   # the single compile
+    call(pools[0], 1)   # the single compile
     print(f"compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr,
           flush=True)
 
     def timed(k):
         best = float("inf")
-        for p in pools:      # distinct data per rep defeats memoization
+        for p in pools:      # distinct data per rep; salt defeats memoization
             t0 = time.perf_counter()
-            float(f(p, k))   # forced readback
+            call(p, k)       # forced readback
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -197,7 +211,7 @@ def bench_streaming(S=4, k_lo=4, k_hi=60, reps=3, rounds=5,
     max_frames = cfg.rx_buf_size + 1
     C = channels
 
-    def run(pool, k):
+    def run(pool, k, salt):
         # pool is interleaved f32 [S(, C), buf_len, 2] — the SDR wire format
         # (complex device_put is unimplemented on the relayed TPU runtime);
         # process_buffer forms complex on device.  channels > 1 exercises the
@@ -210,7 +224,7 @@ def bench_streaming(S=4, k_lo=4, k_hi=60, reps=3, rounds=5,
                    + out.mac_bytes.astype(jnp.uint32).sum())
             return state, acc
         st0 = streaming.init_state(spec, channels=0 if C == 1 else C)
-        return jax.lax.fori_loop(0, k, body, (st0, jnp.uint32(0)))[1]
+        return jax.lax.fori_loop(0, k, body, (st0, salt))[1]
 
     f = jax.jit(run)
     pools = []

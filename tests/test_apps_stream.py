@@ -115,6 +115,10 @@ def test_rxstream_metadata_drain(tmp_path):
     assert sm["frames"] == sf["frames"] >= 1
     assert sm["crc_failures"] == sf["crc_failures"] == 0
     assert os.path.getsize(tmp_path / "d2.bin") == 0   # nothing read back
+    # the device-side verification tallies are surfaced (round-3 advisor
+    # finding): highest accepted MAC seq and the uint32 payload checksum
+    assert sm["max_seq"] == sm["frames"] - 1           # seqs 0..n-1
+    assert sm["payload_checksum_u32"] > 0
 
 
 def test_rxstream_metadata_chunked(tmp_path):
@@ -139,3 +143,7 @@ def test_rxstream_metadata_chunked(tmp_path):
         outs[chunk] = json.loads(sj.read_text())
     assert outs["1"]["frames"] == outs["2"]["frames"] >= 1
     assert outs["1"]["crc_failures"] == outs["2"]["crc_failures"] == 0
+    # the mod-2^32 payload checksum must be invariant to dispatch chunking
+    assert (outs["1"]["payload_checksum_u32"]
+            == outs["2"]["payload_checksum_u32"] > 0)
+    assert outs["1"]["max_seq"] == outs["2"]["max_seq"]
