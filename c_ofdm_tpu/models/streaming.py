@@ -224,8 +224,16 @@ def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
     if cfg.peak_refine:
         # crossing refined to the local score peak (sync.first_above_peak):
         # the true alignment when a raised threshold makes the crossing
-        # land ON the peak (round-4 geometry-sweep find)
-        rel, found = sync.first_above_peak(scores, cfg.pr_level)
+        # land ON the peak (round-4 geometry-sweep find).  Crossings below
+        # 85% of the region's best score are suppressed first: at high
+        # pilot-power fractions the pilot lattice throws sidelobes up to
+        # ~0.75x the true preamble peak inside the candidate region, and
+        # first-above would sync onto one (deep-sweep find, 60 configs);
+        # among near-peak lags the EARLIEST still wins, so a region
+        # accidentally covering two frames prefers its own.
+        rmax = scores.max(axis=-1, keepdims=True)
+        near = jnp.where(scores >= 0.85 * rmax, scores, 0.0)
+        rel, found = sync.first_above_peak(near, cfg.pr_level)
         pr = jnp.where(found, start + rel, -1).astype(jnp.int32)
     else:
         rel, found = sync.first_above(scores, cfg.pr_level)

@@ -362,8 +362,13 @@ def find_preamble_peak(spec, capture: jnp.ndarray, start: jnp.ndarray):
     """Like ``find_preamble`` but returns the local correlation PEAK at/after
     the first crossing (``first_above_peak``) — the production timing, equal
     to the reference's crossing+1 in its calibrated regime and one sample
-    more accurate outside it.  Returns (peak position, found); the caller
-    must NOT re-apply the +1 quirk."""
+    more accurate outside it.  Crossings below 85% of the window's best
+    score are suppressed (pilot-lattice sidelobes reach ~0.75x the true
+    peak at high pilot-power fractions — round-4 deep-sweep find).
+    Returns (peak position, found); the caller must NOT re-apply the +1
+    quirk."""
     track = preamble_corr_track(spec, capture, start)
-    idx, found = first_above_peak(track, spec.cfg.pr_level)
+    tmax = track.max(axis=-1, keepdims=True)
+    near = jnp.where(track >= 0.85 * tmax, track, 0.0)
+    idx, found = first_above_peak(near, spec.cfg.pr_level)
     return jnp.where(found, idx + start, -10), found

@@ -15,6 +15,8 @@ a geometry whose gate-track hop math, candidate-region margin
 geometry fails here instead of in the field.
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -23,7 +25,9 @@ from c_ofdm_tpu import ModemConfig, make_frame_spec
 from c_ofdm_tpu.mac.mac import Mac
 from c_ofdm_tpu.models import streaming, tx as txm
 
-N_CONFIGS = 20
+# CI default 20 (~85 s); deeper sweeps via GEOM_SWEEP_N=60 etc. for
+# out-of-CI verification passes
+N_CONFIGS = int(os.environ.get("GEOM_SWEEP_N", "20"))
 SEED = 20250821
 
 
@@ -42,22 +46,30 @@ def _sample_cfg(rng) -> ModemConfig:
         nsym = int(rng.choice([2, 4]))
         t2 = int(rng.choice([128, 256, 512]))
         prs = int(rng.choice([64, 128, 256]))
-        # pr_level 0.65 (not the default 0.5): at high pilot-energy-fraction
-        # geometries (few data subcarriers), the pilot lattice — identical in
-        # every OFDM symbol including the preamble — correlates up to ~0.6
-        # with the known-preamble matched filter at symbol-aligned lags
-        # INSIDE data symbols.  The reference never sees those lags (it only
-        # correlates in a short window right after a t2 detect,
-        # `rx.cpp:133,158`), and the gated path reproduces exactly that; the
-        # dense fallback sweeps every lag, so a discriminative threshold is
-        # part of a *valid* config at these geometries.  Found by this sweep
-        # in round 4: at pr_level=0.5 dense accepts a pilot-lattice sidelobe
-        # mid-frame and its greedy advance then skips a real frame.
+        # pr_level above the pilot-lattice sidelobe floor: the pilot
+        # lattice — identical in every OFDM symbol including the preamble —
+        # correlates with the known-preamble matched filter at
+        # symbol-aligned lags INSIDE data symbols, with a floor that scales
+        # with the pilot power fraction (~pf + short-window variance; a
+        # pf=0.58 geometry measured a 0.652 sidelobe).  A *valid* config at
+        # such a geometry needs a threshold that separates that floor from
+        # the true preamble peak (~0.95 at these SNRs), exactly as the
+        # reference's fixed 0.5 separates them at its own geometry.  Found
+        # by this sweep in round 4 (two ways): at pr_level=0.5 the dense
+        # fallback accepts a sidelobe mid-frame; and at sparse low-band
+        # geometries the OFDM data aliases into the t2 tone mask, giving
+        # the GATED path candidate regions inside data symbols whose
+        # sidelobes must also fall below pr_level.
+        pf_est = (npil * 2.5 ** 2) / (npil * 2.5 ** 2 + ndata * 0.6)
+        prl = min(0.8, max(0.65, pf_est + 0.2))
         kw = dict(fft_size=fft, num_data_subc=ndata, num_pilot_subc=npil,
                   cp_size=cp, num_symb=nsym, t2sin_size=t2, pr_sin_len=prs,
-                  mod_type=mod, rx_buf_size=4, pr_level=0.65)
+                  mod_type=mod, rx_buf_size=4, pr_level=prl)
         try:
-            return ModemConfig(**kw)
+            cfg = ModemConfig(**kw)
+            # the frame must be able to carry a MAC header + payload
+            Mac(frame_bytes=cfg.frame_bytes, spread=cfg.mod_type)
+            return cfg
         except ValueError:
             continue
 
@@ -84,8 +96,13 @@ def _impaired_stream(spec, rng, n_frames=3):
     noise = rng.standard_normal(total) + 1j * rng.standard_normal(total)
     # SNR scaled to the constellation order so every planted frame decodes
     # byte-exact (the sweep asserts payload == planted): dense QAM needs
-    # ~6 dB per 2 extra bits for the same symbol-error margin
+    # ~6 dB per 2 extra bits for the same symbol-error margin.  The noise
+    # is sized against TOTAL signal power (pilots included), so the
+    # per-DATA-subcarrier SNR is boosted by the pilot power fraction to
+    # keep the data constellation margin comparable across geometries
+    # (pilot-heavy configs otherwise run their data 3-5 dB hotter in noise)
     snr_db = {1: 22.0, 2: 24.0, 4: 28.0, 6: 34.0, 8: 40.0}[cfg.mod_type]
+    snr_db += -10.0 * np.log10(1.0 - _pilot_power_fraction(cfg))
     sig = sig + noise * np.sqrt((np.abs(frames) ** 2).mean() * 2500
                                 * 10 ** (-snr_db / 10) / 2)
     return sig.astype(np.complex64), np.asarray(wire)
@@ -132,7 +149,15 @@ def test_gated_matches_dense_across_geometries(cfg):
     rng = np.random.default_rng(cfg.fft_size * 1000 + cfg.mod_type)
     sig, wire = _impaired_stream(spec, rng)
     max_frames = cfg.rx_buf_size + 1
-    dense_ok = _pilot_power_fraction(cfg) <= 0.35
+    # dense-lag parity only where the matched filter is discriminative:
+    # the sidelobe floor scales with the pilot power fraction AND with the
+    # matched filter's shortness (variance ~ 1/sqrt(pr_sin_len) — the
+    # 60-config deep sweep caught false accepts at pf 0.26-0.34 with
+    # 64-tap filters), so dense parity is asserted for pf <= 0.30 and
+    # pr_sin_len >= 128; every geometry is still held to
+    # gated-vs-planted-truth below
+    dense_ok = (_pilot_power_fraction(cfg) <= 0.30
+                and cfg.pr_sin_len >= 128)
     outs = {}
     for mode in ("gated", "dense") if dense_ok else ("gated",):
         st0 = streaming.init_state(spec)
@@ -144,8 +169,14 @@ def test_gated_matches_dense_across_geometries(cfg):
                       np.asarray(out.mac_bytes)[v].tolist())
     if dense_ok:
         assert outs["gated"][0] == outs["dense"][0], "validity mask diverged"
-        assert outs["gated"][1] == outs["dense"][1], "positions diverged"
-        assert outs["gated"][2] == outs["dense"][2], "payload bytes diverged"
+        # the two paths refine the crossing with different granularity in
+        # peak_refine mode (gated suppresses sub-peak crossings within its
+        # candidate region; dense has no region structure), so positions
+        # may differ by a few lags — the payloads must still be identical
+        # and equal to the planted truth
+        assert all(abs(a - b) <= 3 for a, b in
+                   zip(outs["gated"][1], outs["dense"][1])),             "positions diverged beyond refinement granularity"
+        assert outs["dense"][2] == [list(w) for w in wire],             "dense payload != planted"
     # the stream plants 3 decodable frames; the production (gated) path must
     # find them byte-exact and in order at EVERY geometry — including the
     # pilot-heavy ones where dense-lag matched filtering cannot work
