@@ -199,8 +199,14 @@ def _make_rings_cpu(spec, n_rings, seed, fill):
     return sig.reshape(n_rings, buf_len).astype(np.complex64), n_frames
 
 
-def bench_streaming(S=4, k_lo=4, k_hi=60, reps=3, rounds=5,
+def bench_streaming(S=4, k_lo=4, k_hi=160, reps=3, rounds=5,
                     sync_mode="gated", channels=1, metric=None):
+    """k_hi default 160 (round 4; was 60): at ~0.08 ms/buffer the 56-step
+    differential was ~5 ms against a 25-30 ms dispatch RTT, so ±2 ms of
+    relay queue jitter put ±40% on the marginal — the source of the
+    single-channel metric's window swings (105x-196x across runs).  156
+    steps give a ~12 ms differential; the multi-channel/batch/wideband
+    metrics already sit at 18-36 ms and were stable."""
     from c_ofdm_tpu import ModemConfig, make_frame_spec
     from c_ofdm_tpu.models import streaming
 
