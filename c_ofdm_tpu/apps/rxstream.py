@@ -314,8 +314,10 @@ def main(argv=None):
         # device-side verification tallies (metadata drain): highest MAC seq
         # accepted, and a mod-2^32 checksum over all CRC-clean payload bytes
         # (wraps on long runs by design — it is an equality check against a
-        # same-width reference sum, not a byte count)
-        summary["max_seq"] = max_seq
+        # same-width reference sum, not a byte count).  max_seq is -1 when
+        # nothing was decoded (the device accumulator's 0 would be
+        # indistinguishable from 'frame with seq 0 arrived')
+        summary["max_seq"] = max_seq if n_frames > 0 else -1
         summary["payload_checksum_u32"] = payload_sum
     if args.summary_json:
         text = __import__("json").dumps(summary)

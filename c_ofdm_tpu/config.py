@@ -214,7 +214,11 @@ class ModemConfig:
             "T2_sin_level": round(self.t2_sin_level * 1000),
             "T2_gate_level": round(self.t2_gate_level * 1000),
             "T2_gate_slack": self.t2_gate_slack,
-            "sync_peak_refine": int(self.peak_refine),
+            # -1 = auto (pr_level rule); 0/1 pin the choice — exporting
+            # the RESOLVED value would silently freeze the auto rule on a
+            # file round-trip
+            "sync_peak_refine": (-1 if self.sync_peak_refine is None
+                                 else int(self.sync_peak_refine)),
             "smooth": self.smooth,
             "modType": self.mod_type,
             "pilot_ampl": round(self.pilot_ampl * 1000),
@@ -283,6 +287,8 @@ def load_config(path: str) -> ModemConfig:
     for file_key, value in raw.items():
         if file_key in _FIXED_POINT_KEYS:
             kwargs[_FIXED_POINT_KEYS[file_key]] = value / 1000.0
+        elif file_key == "sync_peak_refine":
+            kwargs["sync_peak_refine"] = None if value < 0 else bool(value)
         elif file_key in _KEY_MAP:
             kwargs[_KEY_MAP[file_key]] = value
         # unknown keys are ignored, matching the reference's tolerant parser

@@ -113,9 +113,10 @@ def extract_hits(spec: FrameSpec, score: jnp.ndarray, min_pos: jnp.ndarray,
         idx = jnp.argmax(cand)
         found = jnp.any(cand)
         if refine:
-            # crossing -> local peak (see sync.first_above_peak)
+            # crossing -> local peak (see sync.first_above_peak; same
+            # radius so dense-vs-gated refinement cannot drift apart)
             vals = jnp.stack([score_ok[jnp.clip(idx + j, 0, n - 1)]
-                              for j in range(3)])
+                              for j in range(sync.PEAK_REFINE_RADIUS + 1)])
             pos = jnp.where(found, idx + jnp.argmax(vals).astype(jnp.int32),
                             -1).astype(jnp.int32)
         else:
@@ -224,16 +225,13 @@ def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
     if cfg.peak_refine:
         # crossing refined to the local score peak (sync.first_above_peak):
         # the true alignment when a raised threshold makes the crossing
-        # land ON the peak (round-4 geometry-sweep find).  Crossings below
-        # 85% of the region's best score are suppressed first: at high
-        # pilot-power fractions the pilot lattice throws sidelobes up to
-        # ~0.75x the true preamble peak inside the candidate region, and
-        # first-above would sync onto one (deep-sweep find, 60 configs);
+        # land ON the peak (round-4 geometry-sweep find).  Sub-peak
+        # crossings are suppressed first (sync.suppress_sidelobes — the
+        # pilot lattice throws sidelobes inside the candidate region);
         # among near-peak lags the EARLIEST still wins, so a region
         # accidentally covering two frames prefers its own.
-        rmax = scores.max(axis=-1, keepdims=True)
-        near = jnp.where(scores >= 0.85 * rmax, scores, 0.0)
-        rel, found = sync.first_above_peak(near, cfg.pr_level)
+        rel, found = sync.first_above_peak(sync.suppress_sidelobes(scores),
+                                           cfg.pr_level)
         pr = jnp.where(found, start + rel, -1).astype(jnp.int32)
     else:
         rel, found = sync.first_above(scores, cfg.pr_level)

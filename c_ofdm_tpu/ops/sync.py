@@ -108,7 +108,26 @@ def first_above(track: jnp.ndarray, level: float) -> tuple[jnp.ndarray, jnp.ndar
     return jnp.where(found, idx, -1), found
 
 
-def first_above_peak(track: jnp.ndarray, level: float, radius: int = 2):
+# near-peak sidelobe suppression margin: crossings below this fraction of
+# the search window's best score are ignored in peak_refine mode (pilot-
+# lattice sidelobes reach ~0.75x the true preamble peak at high pilot power
+# fractions — round-4 deep-sweep find).  Shared by find_preamble_peak and
+# streaming.gated_hits so single-frame and streaming sync accept the same
+# crossings.
+SIDELOBE_SUPPRESS = 0.85
+# local refinement radius of first_above_peak (and the dense-path inline
+# equivalent in streaming.extract_hits)
+PEAK_REFINE_RADIUS = 2
+
+
+def suppress_sidelobes(track: jnp.ndarray) -> jnp.ndarray:
+    """Zero every lag scoring below SIDELOBE_SUPPRESS x the window max."""
+    tmax = track.max(axis=-1, keepdims=True)
+    return jnp.where(track >= SIDELOBE_SUPPRESS * tmax, track, 0.0)
+
+
+def first_above_peak(track: jnp.ndarray, level: float,
+                     radius: int = PEAK_REFINE_RADIUS):
     """First threshold crossing, refined to the local score peak within
     ``radius`` lags: returns (peak_idx, found), (-1, False) if none.
 
@@ -368,7 +387,6 @@ def find_preamble_peak(spec, capture: jnp.ndarray, start: jnp.ndarray):
     Returns (peak position, found); the caller must NOT re-apply the +1
     quirk."""
     track = preamble_corr_track(spec, capture, start)
-    tmax = track.max(axis=-1, keepdims=True)
-    near = jnp.where(track >= 0.85 * tmax, track, 0.0)
-    idx, found = first_above_peak(near, spec.cfg.pr_level)
+    idx, found = first_above_peak(suppress_sidelobes(track),
+                                  spec.cfg.pr_level)
     return jnp.where(found, idx + start, -10), found

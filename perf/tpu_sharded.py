@@ -126,8 +126,6 @@ def main():
     # 3) is amortized away.  An unsharded process_buffer step runs in the
     # SAME harness in the same window, so the reported shard_map overhead is
     # window-drift-free.
-    from c_ofdm_tpu.models import streaming
-
     S = 4
     pool_np = np.stack([np.stack([cap.real, cap.imag], -1)
                         .astype(np.float32) * np.float32(1.0 + 1e-6 * r)
