@@ -43,3 +43,36 @@ def make_global_capture(mesh: Mesh, local_capture, global_shape=None):
         raise ValueError("global_shape is required with multiple processes")
     return jax.make_array_from_process_local_data(
         sharding, local_capture, global_shape)
+
+
+def channel_sharding(mesh: Mesh) -> NamedSharding:
+    """[C, ...] arrays sharded over the channel axis only (replicated over
+    time) — the layout of the continuous sharded-streaming path's blocks and
+    carry state (`parallel.sharded.make_sharded_streaming`)."""
+    return NamedSharding(mesh, P(CHANNEL_AXIS))
+
+
+def make_global_channel_array(mesh: Mesh, local, global_channels: int = 0):
+    """Distribute this process's [C_local, ...] block over the mesh channel
+    axis (per-buffer ingest of the sharded CONTINUOUS streaming path).
+    ``global_channels`` is the mesh-wide channel count (required with
+    multiple processes)."""
+    sharding = channel_sharding(mesh)
+    local = jnp.asarray(local)
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    if not global_channels:
+        raise ValueError("global_channels is required with multiple processes")
+    return jax.make_array_from_process_local_data(
+        sharding, local, (global_channels, *local.shape[1:]))
+
+
+def make_global_stream_state(mesh: Mesh, local_state, global_channels: int = 0):
+    """Distribute a process-local ``StreamState`` slice (fields with a
+    leading [C_local] axis, from ``streaming.init_state(spec,
+    channels=C_local)``) into the mesh-wide channel-sharded state consumed
+    by ``make_sharded_streaming``.  After the first step the state stays
+    device-resident with the same sharding — only buffers move per step."""
+    return jax.tree.map(
+        lambda x: make_global_channel_array(mesh, x, global_channels),
+        local_state)

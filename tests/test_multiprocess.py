@@ -54,3 +54,10 @@ def test_two_process_distributed_ingest():
         # shard-boundary straddler), CRC-clean, payload-exact
         assert sorted(f["seq"] for f in frames) == [0, 1, 2], frames
         assert all(f["crc_ok"] and f["payload_ok"] for f in frames), frames
+        # phase 2: distributed CONTINUOUS streaming — 2 buffers with a
+        # device-resident channel-sharded carry state; the frame straddling
+        # the buffer boundary decodes exactly once via the halo
+        sframes = res["stream_frames"]
+        assert sorted(f["seq"] for f in sframes) == [0, 1, 2], sframes
+        assert all(f["crc_ok"] and f["payload_ok"] for f in sframes), sframes
+        assert res["stream_seen"] == 3    # this host's channel, 2 buffers
