@@ -116,7 +116,8 @@ def extract_hits(spec: FrameSpec, score: jnp.ndarray, min_pos: jnp.ndarray,
             # crossing -> local peak (see sync.first_above_peak; same
             # radius so dense-vs-gated refinement cannot drift apart)
             vals = jnp.stack([score_ok[jnp.clip(idx + j, 0, n - 1)]
-                              for j in range(sync.PEAK_REFINE_RADIUS + 1)])
+                              for j in range(
+                                  sync.peak_radius(spec.cfg) + 1)])
             pos = jnp.where(found, idx + jnp.argmax(vals).astype(jnp.int32),
                             -1).astype(jnp.int32)
         else:
@@ -231,7 +232,8 @@ def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
         # among near-peak lags the EARLIEST still wins, so a region
         # accidentally covering two frames prefers its own.
         rel, found = sync.first_above_peak(sync.suppress_sidelobes(scores),
-                                           cfg.pr_level)
+                                           cfg.pr_level,
+                                           radius=sync.peak_radius(cfg))
         pr = jnp.where(found, start + rel, -1).astype(jnp.int32)
     else:
         rel, found = sync.first_above(scores, cfg.pr_level)

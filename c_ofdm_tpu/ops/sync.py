@@ -120,6 +120,20 @@ SIDELOBE_SUPPRESS = 0.85
 PEAK_REFINE_RADIUS = 2
 
 
+def peak_radius(cfg) -> int:
+    """Geometry-aware refinement radius: a band occupying 1/os of the FFT
+    oversamples the time signal ~os-fold, widening the matched-filter
+    correlation peak by the same factor -- the suppressed threshold
+    crossing can then sit several lags before the true peak, and a fixed
+    radius-2 refinement stops short (100-config deep-sweep find: a
+    1/14-occupied QAM256 geometry synced 2 samples early, and the
+    linear-phase-in-index channel estimator's pilot-jump phase sawtooth
+    ate the corner margin).  At the stock geometry this returns the
+    classic radius 2, preserving reference position parity."""
+    occ = cfg.num_data_subc + cfg.num_pilot_subc + 2
+    return max(PEAK_REFINE_RADIUS, round(cfg.fft_size / occ))
+
+
 def suppress_sidelobes(track: jnp.ndarray) -> jnp.ndarray:
     """Zero every lag scoring below SIDELOBE_SUPPRESS x the window max."""
     tmax = track.max(axis=-1, keepdims=True)
@@ -388,5 +402,6 @@ def find_preamble_peak(spec, capture: jnp.ndarray, start: jnp.ndarray):
     quirk."""
     track = preamble_corr_track(spec, capture, start)
     idx, found = first_above_peak(suppress_sidelobes(track),
-                                  spec.cfg.pr_level)
+                                  spec.cfg.pr_level,
+                                  radius=peak_radius(spec.cfg))
     return jnp.where(found, idx + start, -10), found
