@@ -317,7 +317,11 @@ def main(argv=None):
         # same-width reference sum, not a byte count).  max_seq is -1 when
         # nothing was decoded (the device accumulator's 0 would be
         # indistinguishable from 'frame with seq 0 arrived')
-        summary["max_seq"] = max_seq if n_frames > 0 else -1
+        # gate on the CRC-OK count: the device accumulator only maxes seq
+        # over CRC-clean frames, so a run where every frame fails CRC must
+        # report -1 (n_frames alone counts CRC-bad slots too and would
+        # resurrect the 'seq 0 accepted' ambiguity)
+        summary["max_seq"] = max_seq if (n_frames - n_crc_bad) > 0 else -1
         summary["payload_checksum_u32"] = payload_sum
     if args.summary_json:
         text = __import__("json").dumps(summary)

@@ -96,9 +96,27 @@ class ModemConfig:
     iterations: int = 10_000
 
     def __post_init__(self):
+        # remember whether the gate was auto-derived so to_dict can export
+        # the -1 auto sentinel instead of freezing the resolved value on a
+        # file round-trip (mirrors sync_peak_refine; note dataclasses.replace
+        # reconstructs from the resolved field and pins the value — pass
+        # t2_gate_level=None explicitly to keep the auto rule there)
+        object.__setattr__(self, "_t2_gate_auto", self.t2_gate_level is None)
         if self.t2_gate_level is None:
             object.__setattr__(self, "t2_gate_level",
                                min(0.4, self.t2_sin_level / 2))
+        if self.t2_gate_level == self.t2_sin_level:
+            # round-4 tightened the bound from <= to <; keep pre-existing
+            # gate-at-detect-level config files loading (they were valid
+            # then) by clamping just below with a warning instead of raising
+            import warnings
+            warnings.warn(
+                "t2_gate_level == t2_sin_level: the gate must be a strict "
+                "relaxation of the detect level (overlapping gate windows "
+                "see at worst ~3/4 of a burst's energy); clamping to "
+                "0.999 * t2_sin_level", stacklevel=2)
+            object.__setattr__(self, "t2_gate_level",
+                               0.999 * self.t2_sin_level)
         if self.num_data_subc % self.num_pilot_subc:
             raise ValueError(
                 f"num_data_subc ({self.num_data_subc}) must be divisible by "
@@ -212,7 +230,12 @@ class ModemConfig:
             "T2_sin_f1": self.t2_sin_f1,
             "T2_sin_f2": self.t2_sin_f2,
             "T2_sin_level": round(self.t2_sin_level * 1000),
-            "T2_gate_level": round(self.t2_gate_level * 1000),
+            # -1 = auto (min(0.4, detect/2) rule): exporting the RESOLVED
+            # gate would freeze the auto rule — a round-tripped file whose
+            # T2_sin_level is later lowered would then fail the
+            # gate-below-detect validation instead of re-deriving
+            "T2_gate_level": (-1 if getattr(self, "_t2_gate_auto", False)
+                              else round(self.t2_gate_level * 1000)),
             "T2_gate_slack": self.t2_gate_slack,
             # -1 = auto (pr_level rule); 0/1 pin the choice — exporting
             # the RESOLVED value would silently freeze the auto rule on a
@@ -286,6 +309,8 @@ def load_config(path: str) -> ModemConfig:
     kwargs = {}
     for file_key, value in raw.items():
         if file_key in _FIXED_POINT_KEYS:
+            if file_key == "T2_gate_level" and value < 0:
+                continue                     # -1 sentinel = auto-derive
             kwargs[_FIXED_POINT_KEYS[file_key]] = value / 1000.0
         elif file_key == "sync_peak_refine":
             kwargs["sync_peak_refine"] = None if value < 0 else bool(value)

@@ -96,6 +96,15 @@ def extract_hits(spec: FrameSpec, score: jnp.ndarray, min_pos: jnp.ndarray,
     sync.first_above_peak)."""
     n = score.shape[-1]
     lags = jnp.arange(n, dtype=jnp.int32)
+    refine = spec.cfg.peak_refine
+    if refine:
+        # match the gated path's sidelobe handling (it suppresses per
+        # candidate region): zero sub-peak crossings against the LOCAL
+        # window max, so a pilot-lattice sidelobe crossing pr_level inside
+        # a data span cannot become a first-hit — windowed, because one
+        # strong frame's peak must not suppress a weaker frame's crossing
+        # (sync.suppress_sidelobes_local)
+        score = sync.suppress_sidelobes_local(score, spec.cfg.message_len)
     hit = score > spec.cfg.pr_level
     # a decodable hit needs a full frame window in the ring:
     # frame spans [p+1-t2sin, p+1-t2sin+frame_len)
@@ -104,8 +113,6 @@ def extract_hits(spec: FrameSpec, score: jnp.ndarray, min_pos: jnp.ndarray,
     # scores for the peak refinement: decodable lags only, so the refined
     # position can never step past last_ok
     score_ok = jnp.where(lags <= last_ok, score, 0.0)
-
-    refine = spec.cfg.peak_refine
 
     def body(k, carry):
         cursor, pos_arr, val_arr = carry

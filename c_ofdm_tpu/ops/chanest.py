@@ -275,6 +275,18 @@ def chan_est_lq(spec, preamble_sig: jnp.ndarray = None,
     """Linear-phase LS estimate over the lower half-band, mirrored to the upper
     half (`OFDM/Frame.hpp:389-434`).  Reproduces the reference's exact fit
     formula (sums where a standard LS uses means).
+
+    Multi-symbol preambles (num_pr_symb > 1): the reference fits the FIRST
+    preamble symbol's lower half only (`Frame.hpp:402-405`: phase.size() =
+    num_data_subc/2 over the flattened P*D points) — extra preamble symbols
+    a config pays airtime for are simply discarded.  Here the complex ratio
+    rx/ref is averaged across all P preamble symbols before the phase fit
+    (~P-fold noise-power reduction on the fitted phases); at P=1 the mean is
+    over one element and the arithmetic — hence golden/reference parity — is
+    bit-identical.  The float64 oracle (`oracle.chan_est_lq`) keeps the
+    reference's exact first-symbol semantics; `tests/test_preamble_multisym.py`
+    pins both behaviors.
+
     preamble_sig [..., preamble_len] -> chan [..., num_data_subc]; callers may
     instead pass already-demodulated ``pre_points`` (shared-transform path)."""
     cfg = spec.cfg
@@ -283,7 +295,10 @@ def chan_est_lq(spec, preamble_sig: jnp.ndarray = None,
     mod_pre = jnp.asarray(spec.preamble_points, dtype=pr.dtype)
     half = cfg.num_data_subc // 2
     unwrap = unwrap_one_step if exact_unwrap else unwrap_fast
-    phase = unwrap(jnp.angle(pr[..., :half] / mod_pre[:half]))
+    lead = pr.shape[:-1]
+    ratio = (pr / mod_pre).reshape(*lead, cfg.num_pr_symb,
+                                   cfg.num_data_subc).mean(axis=-2)
+    phase = unwrap(jnp.angle(ratio[..., :half]))
     i = jnp.asarray(np.arange(half), dtype=phase.dtype)
     sx, sxx = i.sum(), (i * i).sum()
     sy = phase.sum(-1)

@@ -140,6 +140,43 @@ def suppress_sidelobes(track: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(track >= SIDELOBE_SUPPRESS * tmax, track, 0.0)
 
 
+def _shift_left(t: jnp.ndarray, s: int) -> jnp.ndarray:
+    if s == 0:
+        return t
+    pad = jnp.full((*t.shape[:-1], s), -jnp.inf, t.dtype)
+    return jnp.concatenate([t[..., s:], pad], axis=-1)
+
+
+def sliding_max(track: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """max over [i-radius, i+radius] along the last axis in O(n log radius):
+    sparse-table doubling, then two overlapping power-of-two windows."""
+    w = 2 * radius + 1
+    lead = track.shape[:-1]
+    padded = jnp.concatenate(
+        [jnp.full((*lead, radius), -jnp.inf, track.dtype), track], axis=-1)
+    k = max(w.bit_length() - 1, 0)          # largest 2^k <= w
+    m = padded
+    for j in range(k):
+        m = jnp.maximum(m, _shift_left(m, 1 << j))
+    m = jnp.maximum(m, _shift_left(m, w - (1 << k)))
+    return m[..., :track.shape[-1]]
+
+
+def suppress_sidelobes_local(track: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Windowed form of ``suppress_sidelobes`` for DENSE full-ring tracks:
+    zero lags scoring below SIDELOBE_SUPPRESS x the local maximum within
+    ``radius`` lags.  The gated path gets this per candidate region for
+    free (each region spans one frame neighborhood); a dense track has no
+    region structure, and a single global max would let one strong frame
+    suppress a weaker frame's legitimate crossing.  Radius message_len
+    covers every symbol-aligned pilot-lattice sidelobe of a frame (they
+    trail the preamble peak by k*ofdm_len, k <= num_symb) while true
+    neighboring peaks — always >= frame_len > message_len apart — never
+    suppress each other."""
+    return jnp.where(track >= SIDELOBE_SUPPRESS * sliding_max(track, radius),
+                     track, 0.0)
+
+
 def first_above_peak(track: jnp.ndarray, level: float,
                      radius: int = PEAK_REFINE_RADIUS):
     """First threshold crossing, refined to the local score peak within

@@ -66,35 +66,47 @@ _TRANS_RATE_KEY = {
 
 # ------------------------------------------------------------ VPU rates ----
 
+_CHAIN = 64                     # dependent ops per element per iteration
+
+
 def _rate_ops():
     tiny = np.float32(1e-7)
+    one = np.float32(1.0000001)
     return {
-        "mul": (lambda x: x * np.float32(1.0000001) + tiny, 2),
-        "sine": (jnp.sin, 1),
-        "atan2": (lambda x: jnp.arctan2(x, x + np.float32(1.0)), 1),
-        "sqrt": (lambda x: jnp.sqrt(jnp.abs(x) + tiny), 1),
-        "rsqrt": (lambda x: jax.lax.rsqrt(jnp.abs(x) + tiny), 1),
-        "exp": (lambda x: jnp.exp(-jnp.abs(x)), 1),
+        "mul": lambda y: y * one + tiny,
+        "sine": lambda y: jnp.sin(y) + one,
+        "atan2": lambda y: jnp.arctan2(y, jnp.abs(y) + one),
+        "sqrt": lambda y: jnp.sqrt(jnp.abs(y) + one),
+        "rsqrt": lambda y: jax.lax.rsqrt(jnp.abs(y) + one),
+        "exp": lambda y: jnp.exp(-jnp.abs(y) - tiny),
     }
 
 
-def measure_rates(size=1 << 22, k_lo=4, k_hi=64, reps=3):
+def measure_rates(size=1 << 22, reps=3):
     """Per-op VPU throughput (elements/s) via the salted marginal method.
-    The loop body is op(x + i*eps) accumulated elementwise — ~2 extra VPU
-    flops per element, which inflate the charged rate of cheap ops (mul,
-    sqrt) a little and are noise for the expensive ones; bounds built from
-    these rates stay true lower bounds."""
+
+    Each loop iteration applies a CHAIN of 64 dependent copies of the op per
+    element, so per-iteration time is compute-dominated (the body's +-abs
+    glue and the loop's HBM traffic are amortized 64x).  The glue makes the
+    measured rate slightly PESSIMISTIC per op, and chaining hides no cost —
+    bounds built from these rates can only be conservative in the safe
+    direction (an overestimated rate would underestimate the bound; glue
+    cannot overestimate a rate).  Trip counts self-calibrate so the k_hi-k_lo
+    differential is ~25-50 ms against the 25-30 ms relay dispatch RTT."""
     rng = np.random.default_rng(0)
     rates = {}
-    for name, (op, _) in _rate_ops().items():
+    for name, op in _rate_ops().items():
         def run(x, k, salt):
-            def body(i, acc):
-                return acc + op(x + i.astype(jnp.float32) * np.float32(1e-6))
+            def body(i, y):
+                y = y + i.astype(jnp.float32) * np.float32(1e-6)
+                for _ in range(_CHAIN):
+                    y = op(y)
+                return y
             y = jax.lax.fori_loop(0, k, body,
-                                  jnp.zeros_like(x) + salt.astype(jnp.float32))
+                                  x + salt.astype(jnp.float32) * np.float32(1e-6))
             return y.sum()
         f = jax.jit(run)
-        xs = [jnp.asarray(rng.standard_normal(size), dtype=jnp.float32)
+        xs = [jnp.asarray(rng.standard_normal(size) * 0.1, dtype=jnp.float32)
               for _ in range(reps)]
         salt = iter(range(1, 1 << 20))
 
@@ -104,12 +116,16 @@ def measure_rates(size=1 << 22, k_lo=4, k_hi=64, reps=3):
             return time.perf_counter() - t0
 
         call(xs[0], 1)
-        t_lo = min(call(x, k_lo) for x in xs)
+        # calibrate trip counts for a ~25-50 ms differential
+        t_probe = (min(call(x, 36) for x in xs)
+                   - min(call(x, 4) for x in xs)) / 32
+        k_hi = 4 + max(32, min(4096, int(0.030 / max(t_probe, 1e-7))))
+        t_lo = min(call(x, 4) for x in xs)
         t_hi = min(call(x, k_hi) for x in xs)
-        per = (t_hi - t_lo) / (k_hi - k_lo)
-        rates[name] = size / per
-        print(f"{name}: {size/per/1e9:.2f} Gelem/s ({per*1e3:.3f} ms / "
-              f"{size>>20} Melem pass)", flush=True)
+        per = (t_hi - t_lo) / (k_hi - 4)
+        rates[name] = size * _CHAIN / per
+        print(f"{name}: {rates[name]/1e9:.1f} Gelem/s "
+              f"({per*1e3:.3f} ms/iter, k_hi={k_hi})", flush=True)
     with open(RATES_PATH, "w") as fh:
         json.dump(rates, fh)
     return rates
@@ -135,6 +151,35 @@ def _elems(dim_str: str) -> int:
     if not dim_str:
         return 1
     return int(np.prod([int(d) for d in dim_str.split(",")]))
+
+
+def jaxpr_dot_flops(fn, *args) -> float:
+    """Exact dot/conv FLOPs by walking the jaxpr (backend-independent —
+    the CPU backend hides dots inside oneDNN custom-calls where the HLO
+    census cannot see them).  Complex MACs count 8 real flops."""
+    closed = jax.make_jaxpr(fn)(*args)
+
+    def walk(jaxpr, mult=1.0):
+        total = 0.0
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name in ("dot_general",):
+                (lc, _), _ = eqn.params["dimension_numbers"]
+                lhs = eqn.invars[0].aval
+                out = eqn.outvars[0].aval
+                k = int(np.prod([lhs.shape[i] for i in lc])) if lc else 1
+                per_mac = 8 if jnp.issubdtype(out.dtype, jnp.complexfloating) \
+                    else 2
+                total += mult * per_mac * int(np.prod(out.shape)) * k
+            for name, val in eqn.params.items():
+                sub = getattr(val, "jaxpr", None)
+                if sub is not None:
+                    m = mult
+                    if eqn.primitive.name == "scan":
+                        m = mult * eqn.params.get("length", 1)
+                    total += walk(sub, m)
+        return total
+
+    return walk(closed.jaxpr)
 
 
 def census(hlo_text: str):
@@ -165,7 +210,13 @@ def census(hlo_text: str):
             # to real dot pairs already
             dot_flops += 2 * n * k
         elif op in _TRANS_RATE_KEY:
-            trans[op] = trans.get(op, 0) + n * cplx.get(dtype, 1)
+            if op == "exponential" and dtype in cplx:
+                # a complex exponential is a sincos pair on the TPU VPU
+                # (XLA's complex expander usually splits it before this
+                # point; this handles HLO where it survived intact)
+                trans["sine"] = trans.get("sine", 0) + 2 * n
+            else:
+                trans[op] = trans.get(op, 0) + n * cplx.get(dtype, 1)
     return dot_flops, trans, n_instr
 
 
@@ -225,14 +276,23 @@ def build_stage(name):
 
 
 def measure_step(step, pools, k_lo=4, k_hi=36):
-    """Marginal ms/step of a fori_loop over the stage (salted dispatches)."""
+    """Marginal ms/step of a fori_loop over the stage (salted dispatches).
+    The body consumes pool[i % K] — a loop-VARIANT input — or XLA's
+    loop-invariant code motion hoists the whole stage out of the loop and
+    the marginal measures nothing (observed: 'measured' 3x below the MXU
+    bound)."""
+    K = len(pools)
+    stacked = jnp.stack(pools)
+
     def run(pool, k, salt):
         return jax.lax.fori_loop(
             0, k,
-            lambda i, acc: acc + step(pool).astype(jnp.float32),
+            lambda i, acc: acc + step(pool[i % K]).astype(jnp.float32),
             salt.astype(jnp.float32))
     f = jax.jit(run)
     salt = iter(range(1, 1 << 20))
+    variants = [stacked, jnp.stack([p[::-1] for p in pools]),
+                jnp.stack([jnp.roll(p, 1, axis=0) for p in pools])]
 
     def call(p, k):
         t0 = time.perf_counter()
@@ -240,16 +300,19 @@ def measure_step(step, pools, k_lo=4, k_hi=36):
         return time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    call(pools[0], 1)
+    call(variants[0], 1)
     print(f"  compile {time.perf_counter()-t0:.0f}s", file=sys.stderr,
           flush=True)
-    t_lo = min(call(p, k_lo) for p in pools)
-    t_hi = min(call(p, k_hi) for p in pools)
+    t_lo = min(call(p, k_lo) for p in variants)
+    t_hi = min(call(p, k_hi) for p in variants)
     return (t_hi - t_lo) / (k_hi - k_lo)
 
 
-def dispatch_floor(pools, k_lo=4, k_hi=36):
-    """Per-step overhead of an EMPTY loop body through the same harness."""
+def dispatch_floor(pools, k_lo=64, k_hi=2048):
+    """Per-step overhead of a trivial loop body (one dynamic u8 gather)
+    through the same harness.  High trip counts: the body costs ~ us, so a
+    36-step differential would be jitter-dominated against the 25-30 ms
+    dispatch RTT."""
     def run(pool, k, salt):
         return jax.lax.fori_loop(
             0, k, lambda i, acc: acc + pool.ravel()[i].astype(jnp.float32),
@@ -267,13 +330,30 @@ def dispatch_floor(pools, k_lo=4, k_hi=36):
     return (t_hi - t_lo) / (k_hi - k_lo)
 
 
-def bound_stage(name, rates, measure=True):
+CENSUS_PATH = "/tmp/sol_census.json"
+
+
+def census_stage(name, rates):
+    """Op census + bound components from the CPU-compiled optimized HLO.
+
+    Compiling a bare (loop-free) stage crashes the relayed TPU client
+    (signal 4 in compile — round-5 find), so the census compiles for CPU:
+    dot shapes and algebraically-simplified op counts are backend-stable.
+    Two TPU-vs-CPU lowering differences are corrected for:
+      * complex `exponential` stays one HLO op on CPU but is a sine+cosine
+        pair on the TPU VPU — charged as 2 sine-rate elements;
+      * the Pallas window-extract kernel is replaced by the XLA gather path
+        on CPU — both are ~0-FLOP data movement, bound unaffected.
+    """
     step, pools, samples = build_stage(name)
-    lowered = jax.jit(step).lower(pools[0])
-    compiled = lowered.compile()
+    compiled = jax.jit(step, backend="cpu").lower(pools[0]).compile()
     ca = compiled.cost_analysis()
-    flops = ca.get("flops", 0.0)
-    dot_flops, trans, n_instr = census(compiled.as_text())
+    flops = float(ca.get("flops", 0.0)) if ca else 0.0
+    hlo_dot_flops, trans, n_instr = census(compiled.as_text())
+    # dots from the jaxpr: the CPU backend hides most dots inside oneDNN
+    # custom-calls, invisible to both the HLO census and (sometimes) the
+    # cost analysis
+    dot_flops = max(jaxpr_dot_flops(step, pools[0]), hlo_dot_flops)
     vpu_flops = max(flops - dot_flops, 0.0)
 
     t_mxu = dot_flops / (PEAK_F32_TFLOPS * 1e12)
@@ -286,6 +366,7 @@ def bound_stage(name, rates, measure=True):
 
     row = {
         "stage": name,
+        "samples": samples,
         "dot_gflop": round(dot_flops / 1e9, 3),
         "vpu_gflop": round(vpu_flops / 1e9, 3),
         "mtrans": {k: round(v / 1e6, 3) for k, v in sorted(trans.items())},
@@ -294,17 +375,33 @@ def bound_stage(name, rates, measure=True):
         "t_trans_ms": round(t_trans * 1e3, 4),
         "t_hbm_ms": round(t_hbm * 1e3, 4),
     }
-    if measure:
-        per = measure_step(step, pools)
-        t_disp = dispatch_floor(pools)
-        bound = max(t_mxu, t_vpu, t_hbm, t_disp)
-        row.update({
-            "t_dispatch_ms": round(t_disp * 1e3, 4),
-            "bound_ms": round(bound * 1e3, 4),
-            "measured_ms": round(per * 1e3, 4),
-            "measured_over_bound": round(per / bound, 2),
-            "gsamples_per_s": round(samples / per / 1e9, 2),
-        })
+    saved = {}
+    if os.path.exists(CENSUS_PATH):
+        with open(CENSUS_PATH) as fh:
+            saved = json.load(fh)
+    saved[name] = row
+    with open(CENSUS_PATH, "w") as fh:
+        json.dump(saved, fh)
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def measure_stage(name, row):
+    """Marginal TPU timing for a censused stage; prints the merged
+    measured-vs-bound row."""
+    step, pools, samples = build_stage(name)
+    per = measure_step(step, pools)
+    t_disp = dispatch_floor(pools)
+    bound = max(row["t_mxu_ms"], row["t_vpu_ms"], row["t_hbm_ms"],
+                t_disp * 1e3) * 1e-3
+    row = dict(row)
+    row.update({
+        "t_dispatch_ms": round(t_disp * 1e3, 4),
+        "bound_ms": round(bound * 1e3, 4),
+        "measured_ms": round(per * 1e3, 4),
+        "measured_over_bound": round(per / bound, 2),
+        "gsamples_per_s": round(samples / per / 1e9, 2),
+    })
     print(json.dumps(row), flush=True)
     return row
 
@@ -314,9 +411,18 @@ def main():
     p.add_argument("stages", nargs="+",
                    help="'rates' and/or stage names (full recover sync tx "
                         "odemod demap sfull ssync sgate ...)")
-    p.add_argument("--no-measure", action="store_true",
-                   help="print bound components only (no timing runs)")
+    p.add_argument("--census-only", action="store_true",
+                   help="run under JAX_PLATFORMS=cpu: compile + census only, "
+                        "saved to " + CENSUS_PATH)
+    p.add_argument("--measure-only", action="store_true",
+                   help="on the TPU: time the stages, merge with the saved "
+                        "census")
     args = p.parse_args()
+    if args.census_only:
+        # the environment's sitecustomize force-registers the TPU plugin and
+        # overrides JAX_PLATFORMS; re-force CPU so the census compiles (and
+        # the Pallas extract auto-detection picks its CPU fallback)
+        jax.config.update("jax_platforms", "cpu")
     names = list(args.stages)
     if "rates" in names:
         names.remove("rates")
@@ -326,8 +432,22 @@ def main():
     print(f"rates (Gelem/s): "
           f"{ {k: round(v/1e9, 2) for k, v in rates.items()} }",
           file=sys.stderr, flush=True)
+    if args.measure_only:
+        with open(CENSUS_PATH) as fh:
+            saved = json.load(fh)
+        for name in names:
+            try:
+                measure_stage(name, saved[name])
+            except Exception as e:  # noqa: BLE001 — relay compile-helper
+                # crashes (HTTP 500 SIGILL) are sporadic and per-graph;
+                # lose one stage, not the run
+                print(f"{name}: MEASURE FAILED ({type(e).__name__})",
+                      flush=True)
+        return
     for name in names:
-        bound_stage(name, rates, measure=not args.no_measure)
+        row = census_stage(name, rates)
+        if not args.census_only:
+            measure_stage(name, row)
 
 
 if __name__ == "__main__":

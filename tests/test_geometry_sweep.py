@@ -75,9 +75,15 @@ def _sample_cfg(rng) -> ModemConfig:
         # measured sidelobe spikes to ~0.68, found at the 100-config depth)
         pf_est = (npil * 2.5 ** 2) / (npil * 2.5 ** 2 + ndata * 0.6)
         prl = min(0.85, max(0.65, pf_est + 0.2 + 2.5 / np.sqrt(prs)))
+        # num_pr_symb (round-5: the one config dimension with zero sweep
+        # coverage) via a DERIVED rule rather than an rng draw — consuming
+        # the shared stream would reshuffle the whole committed config set;
+        # this tags ~1/3 of geometries with a 2-symbol preamble
+        prsym = 2 if (fft // 64 + npil + seg + mod + nsym) % 3 == 0 else 1
         kw = dict(fft_size=fft, num_data_subc=ndata, num_pilot_subc=npil,
                   cp_size=cp, num_symb=nsym, t2sin_size=t2, pr_sin_len=prs,
-                  mod_type=mod, rx_buf_size=4, pr_level=prl)
+                  mod_type=mod, rx_buf_size=4, pr_level=prl,
+                  num_pr_symb=prsym)
         try:
             cfg = ModemConfig(**kw)
             # the frame must be able to carry a MAC header + payload
@@ -159,7 +165,8 @@ def _pilot_power_fraction(cfg) -> float:
                          ids=lambda c: (f"fft{c.fft_size}_d{c.num_data_subc}"
                                         f"_p{c.num_pilot_subc}_cp{c.cp_size}"
                                         f"_s{c.num_symb}_t{c.t2sin_size}"
-                                        f"_m{c.pr_sin_len}_q{c.mod_type}"))
+                                        f"_m{c.pr_sin_len}_q{c.mod_type}"
+                                        f"_P{c.num_pr_symb}"))
 def test_gated_matches_dense_across_geometries(cfg):
     spec = make_frame_spec(cfg, dtype=jnp.complex64)
     rng = np.random.default_rng(cfg.fft_size * 1000 + cfg.mod_type)
