@@ -53,9 +53,11 @@ BASELINE_SAMPLES_PER_S = 25.0e6
 
 # BASELINE config #3's largest geometry (8k-FFT QAM64) — shared with
 # perf/tpu_wideband.py.  Backend/batch choices are measured per geometry:
-# XLA FFT beats the partial matmul-DFT at 8k (the reverse of the 512-pt
-# flagship), and B=128 is the wideband throughput sweet spot (B=64 is
-# latency-bound, B=256 regresses — PERF.md round 4).
+# at 8k the two-stage Cooley-Tukey matmul backend ("ct", 8192 = 64x128,
+# round-5 A/B: 0.86-0.89 ms vs 1.02-1.09 ms for the XLA FFT, interleaved
+# same-window) beats XLA FFT, which in turn beats the flat matmul-DFT
+# (250x the FLOPs at 4096 occupied bins); B=128 is the wideband throughput
+# sweet spot (B=64 is latency-bound, B=256 regresses — PERF.md round 4).
 WIDEBAND = dict(fft_size=8192, num_data_subc=4096, num_pilot_subc=32,
                 cp_size=1024, num_symb=2, pr_sin_len=512, mod_type=6)
 
@@ -154,7 +156,7 @@ def bench_wideband(rounds=3):
     return bench_batch(B=128, k_lo=4, k_hi=36, reps=3, rounds=rounds,
                        cfg=ModemConfig(**WIDEBAND),
                        metric="ofdm_wideband_samples_per_s_per_chip",
-                       fft_backend="xla")
+                       fft_backend="ct")
 
 
 def _make_rings(spec, n_rings, seed, fill=0.8):

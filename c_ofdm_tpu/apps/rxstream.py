@@ -40,7 +40,13 @@ def main(argv=None):
     p.add_argument("--native-ingest", action="store_true",
                    help="use the C++ ingest ring for file reads (i16 only; NB the replay source loops the file like the reference's cyclic TX)")
     p.add_argument("--max-frames", type=int, default=0)
-    p.add_argument("--sync-mode", choices=("gated", "dense"), default="gated")
+    p.add_argument("--sync-mode", choices=("gated", "dense"), default="gated",
+                   help="gated (default): two-tone-gated matched filter, the "
+                        "production path, multi-channel capable.  dense: "
+                        "matched-filter every ring lag — detector-independent "
+                        "parity fallback, single-channel only (the "
+                        "library's process_buffer raises on channel-batched "
+                        "state in dense mode) and ~17x slower")
     p.add_argument("--summary-json", default="",
                    help="write end-of-run throughput summary JSON here "
                         "('-' = stdout)")

@@ -34,7 +34,9 @@ class FrameSpec:
     matched_filter: np.ndarray      # [pr_sin_len] complex, unit norm, conjugated
     cfo_borders: np.ndarray         # [num_pilot_subc+2] int, pilot windows after fftshift
     cfo_window_mask: np.ndarray     # [num_pilot_subc+1] bool, True = use window
-    fft_backend: str = "xla"        # "xla" | "matmul" | "pallas" (symbol FFTs)
+    fft_backend: str = "xla"        # "xla" | "matmul[_bf16]" | "ct[_bf16]" |
+    #                                   "pallas" (symbol FFTs; ct = two-stage
+    #                                   Cooley-Tukey matmuls, wideband MXU path)
     extract_backend: str = "auto"   # frame-window gathers: "auto" (pallas
     #                                 kernel on TPU/c64, xla elsewhere) |
     #                                 "xla" | "pallas"

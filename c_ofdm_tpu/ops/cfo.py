@@ -36,7 +36,11 @@ def pilot_freq_shift(spec, preamble_sig: jnp.ndarray) -> jnp.ndarray:
     """
     size = spec.cfg.preamble_len
     segs = _cfo_window_segments(spec)
-    if spec.fft_backend != "xla":
+    # the ct backend keeps the XLA FFT here: preamble_len (fft+cp per symbol)
+    # is never a power of two, and at wideband sizes the partial-DFT matmul
+    # over ~size/2 inspected bins is an ~87 GFLOP contraction that costs more
+    # than the whole rest of the step (round-5 ct A/B find)
+    if spec.fft_backend != "xla" and not spec.fft_backend.startswith("ct"):
         # fftshifted index j reads unshifted DFT bin (j + ceil(size/2)) % size
         shifted = np.concatenate([np.arange(lo, hi) for lo, hi in segs])
         rows = (shifted + (size + 1) // 2) % size

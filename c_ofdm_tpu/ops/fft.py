@@ -67,6 +67,8 @@ def fft_fwd(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
     """Unnormalized forward FFT along the last axis."""
     if backend in ("matmul", "matmul_bf16"):
         return _matmul_dft(x, sign=-1, bf16=backend.endswith("bf16"))
+    if backend in ("ct", "ct_bf16"):
+        return ct_dft(x, sign=-1, bf16=backend.endswith("bf16"))
     if backend == "pallas" and x.dtype == jnp.complex64:
         from . import pallas_fft
         return pallas_fft.dft_pallas(x, sign=-1)
@@ -77,6 +79,8 @@ def ifft_unnorm(x: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
     """Unnormalized backward FFT (FFTW convention) along the last axis."""
     if backend in ("matmul", "matmul_bf16"):
         return _matmul_dft(x, sign=+1, bf16=backend.endswith("bf16"))
+    if backend in ("ct", "ct_bf16"):
+        return ct_dft(x, sign=+1, bf16=backend.endswith("bf16"))
     if backend == "pallas" and x.dtype == jnp.complex64:
         from . import pallas_fft
         return pallas_fft.dft_pallas(x, sign=+1)
@@ -117,6 +121,43 @@ def _matmul_dft(x: jnp.ndarray, sign: int, bf16: bool = False) -> jnp.ndarray:
 
 def jax_lax_complex(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
     return re + 1j * im
+
+
+def _ct_factors(n: int) -> tuple:
+    """Near-square power-of-two split n = N1 * N2, N1 <= N2."""
+    a = n.bit_length() - 1
+    assert 1 << a == n, "ct backend needs a power-of-two size"
+    return 1 << (a // 2), 1 << (a - a // 2)
+
+
+def ct_dft(x: jnp.ndarray, sign: int, bf16: bool = False) -> jnp.ndarray:
+    """Two-stage Cooley-Tukey DFT as batched MXU matmuls (round-4 verdict
+    task 6: the one MXU-shaped idea between the wideband XLA FFT and the
+    single-matmul DFT whose FLOPs blow up 250x at 8k).
+
+    n = N1*N2 (8192 = 64*128): with input index n = N2*n1 + n2 and output
+    k = k1 + N1*k2,
+        A[k1, n2]  = sum_{n1} x[N2 n1 + n2] W_{N1}^{n1 k1}      (matmul 1)
+        B[k1, n2]  = A * W_N^{n2 k1}                            (twiddle)
+        X[k1+N1 k2] = sum_{n2} B[k1, n2] W_{N2}^{n2 k2}         (matmul 2)
+    FLOPs per transform: n*(N1 + N2) MACs vs n^2 for the flat DFT —
+    45x fewer at 8k — in MXU-friendly [*, 64/128]x[64/128, 64/128] shapes.
+    Exact (no approximation); bf16 variant casts matmul operands only.
+    """
+    n = x.shape[-1]
+    n1, n2 = _ct_factors(n)
+    lead = x.shape[:-1]
+    w1 = _dft_matrix_np(n1, sign)                     # [n1, k1]
+    w2 = _dft_matrix_np(n2, sign)                     # [n2, k2]
+    j2 = np.arange(n2)
+    k1 = np.arange(n1)
+    tw = np.exp(sign * 2j * np.pi * np.outer(j2, k1) / n)   # [n2, k1]
+    xv = x.reshape(*lead, n1, n2)
+    a = complex_matmul(jnp.swapaxes(xv, -1, -2), w1, bf16)  # [..., n2, k1]
+    b = a * jnp.asarray(tw, dtype=a.dtype)
+    y = complex_matmul(jnp.swapaxes(b, -1, -2), w2, bf16)   # [..., k1, k2]
+    # flatten with k2 major: k = N1*k2 + k1
+    return jnp.swapaxes(y, -1, -2).reshape(*lead, n)
 
 
 def partial_dft(x: jnp.ndarray, rows: np.ndarray, sign: int = -1) -> jnp.ndarray:

@@ -34,41 +34,60 @@ from jax.experimental.pallas import tpu as pltpu
 _ROWS = 8  # sublane tile: f32 min tile is (8, 128)
 
 
-def _extract_kernel(st_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, win: int):
-    base = pl.program_id(0) * _ROWS
-    for r in range(_ROWS):      # static unroll over the sublane tile
-        s = st_ref[base + r]
-        # Mosaic only lowers lane-aligned dynamic slices: take a 128-aligned
-        # window one lane-group wider, then rotate out the sub-128 remainder
-        q = pl.multiple_of((s // 128) * 128, 128)
-        rem = s - q
-        # rotate right by (width - rem) == rotate left by rem (roll requires
-        # a non-negative shift)
-        shift = (win + 128) - rem
-        for ref, out in ((xr_ref, yr_ref), (xi_ref, yi_ref)):
-            chunk = ref[r: r + 1, pl.ds(q, win + 128)]
-            out[r: r + 1, :] = pltpu.roll(chunk, shift, axis=1)[:, :win]
+def _extract_kernel(st_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, win: int,
+                    n_bits: int):
+    """Per-row window extraction as n_bits FULL-WIDTH conditional rolls.
+
+    out[r, j] = in[r, s_r + j]: each row needs a left-rotation by its own
+    s_r.  The round-3 kernel did a (1, win+128) dynamic slice + roll per
+    row — 8 serial ops each using one sublane (1/8 of the VPU), which made
+    extraction the single most expensive stage of the flagship step
+    (0.24 ms of 0.33; perf/sol.py round 5: 12% of HBM peak against a
+    0.03 ms floor).  Here s_r is decomposed into bits and the whole (8, L)
+    tile is rolled by 2^k lanes, keeping rows where bit k of s_r is set —
+    n_bits full-width vector passes instead of 8 serial 1/8-width moves.
+    n_bits = bit_length(max start) is tiny for the batch shape (starts are
+    pre-clamped to n - win = 256 at the flagship geometry -> 9 passes).
+    No wraparound garbage reaches the output: s_r + win <= n < L."""
+    st = st_ref[...]                        # (8, 128) int32, lanes broadcast
+    for ref, out in ((xr_ref, yr_ref), (xi_ref, yi_ref)):
+        tile = ref[...]                     # (8, L)
+        L = tile.shape[1]
+        for k in range(n_bits):
+            step = 1 << k
+            rolled = pltpu.roll(tile, L - step, axis=1)   # left by step
+            bit = (st >> k) & 1                           # (8, 128)
+            tile = jnp.where(bit[:, :1] == 1, rolled, tile)
+        out[...] = tile[:, :win]
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _extract_call(xr, xi, starts, win: int, interpret: bool):
     B, n = xr.shape
     pad = (-B) % _ROWS
-    # +128 lanes so the aligned widened window never runs off the row
+    # +128 lanes of zero margin (keeps parity with the clamped-starts
+    # contract of the other kernels; rolls never read past L anyway)
     zrow = [(0, pad), (0, 128)]
     xr, xi = jnp.pad(xr, zrow), jnp.pad(xi, zrow)
     if pad:
         starts = jnp.pad(starts, (0, pad))
-    n = n + 128
+    n_lanes = n + 128
     nb = (B + pad) // _ROWS
-    kern = functools.partial(_extract_kernel, win=win)
+    max_start = max(n - win, 1)
+    kern = functools.partial(_extract_kernel, win=win,
+                             n_bits=max_start.bit_length())
+    st_b = jnp.broadcast_to(starts.astype(jnp.int32)[:, None],
+                            (B + pad, 128))
     out = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_ROWS, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, n_lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, n_lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((_ROWS, win), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -77,22 +96,39 @@ def _extract_call(xr, xi, starts, win: int, interpret: bool):
         out_shape=[jax.ShapeDtypeStruct((B + pad, win), jnp.float32),
                    jax.ShapeDtypeStruct((B + pad, win), jnp.float32)],
         interpret=interpret,
-    )(starts.astype(jnp.int32), xr, xi)
+    )(st_b, xr, xi)
     return out[0][:B], out[1][:B]
 
 
-def _single_kernel(st_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, win: int):
+def _single_kernel(st_ref, xr_ref, xi_ref, yr_ref, yi_ref, tmp_ref, *,
+                   win: int):
     """Like _extract_kernel but every window reads the SAME capture row —
-    the streaming-ring case (K windows out of one 252k-sample ring)."""
+    the streaming-ring case (K windows out of one 252k-sample ring).
+
+    Ring starts span the whole ring (~18 bits), so the batch kernel's
+    full-shift bit-roll would need rolls over an (8, ring) tile — far more
+    VMEM traffic than the windows themselves.  Hybrid instead: the
+    128-aligned part of each start is a per-row dynamic-slice COPY into a
+    scratch tile (pure data movement), and only the sub-128 remainder is
+    applied as 7 full-width conditional rolls — replacing the round-3
+    per-row (1, L) rolls that used one sublane each."""
     base = pl.program_id(0) * _ROWS
+    Lt = win + 128
+    idx = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
+    rem = jnp.zeros((_ROWS, 1), jnp.int32)
     for r in range(_ROWS):
-        s = st_ref[base + r]
-        q = pl.multiple_of((s // 128) * 128, 128)
-        rem = s - q
-        shift = (win + 128) - rem
-        for ref, out in ((xr_ref, yr_ref), (xi_ref, yi_ref)):
-            chunk = ref[0:1, pl.ds(q, win + 128)]
-            out[r: r + 1, :] = pltpu.roll(chunk, shift, axis=1)[:, :win]
+        rem = rem + jnp.where(idx == r, st_ref[base + r] % 128, 0)
+    for ref, out in ((xr_ref, yr_ref), (xi_ref, yi_ref)):
+        for r in range(_ROWS):
+            s = st_ref[base + r]
+            q = pl.multiple_of((s // 128) * 128, 128)
+            tmp_ref[r: r + 1, :] = ref[0:1, pl.ds(q, Lt)]
+        tile = tmp_ref[...]
+        for k in range(7):                   # rem < 128
+            step = 1 << k
+            rolled = pltpu.roll(tile, Lt - step, axis=1)  # left by step
+            tile = jnp.where(((rem >> k) & 1) == 1, rolled, tile)
+        out[...] = tile[:, :win]
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -124,6 +160,7 @@ def _extract_single_call(xr, xi, starts, win: int, interpret: bool):
         ],
         out_shape=[jax.ShapeDtypeStruct((K + pad, win), jnp.float32),
                    jax.ShapeDtypeStruct((K + pad, win), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((_ROWS, win + 128), jnp.float32)],
         interpret=interpret,
     )(starts.astype(jnp.int32), xr, xi)
     return out[0][:K], out[1][:K]

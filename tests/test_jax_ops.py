@@ -172,3 +172,46 @@ def test_first_above_peak_semantics():
     assert ModemConfig(pr_level=0.65).peak_refine is True
     assert ModemConfig(sync_peak_refine=True).peak_refine is True
     assert ModemConfig(pr_level=0.7, sync_peak_refine=False).peak_refine is False
+
+
+def test_ct_dft_matches_fft():
+    """Two-stage Cooley-Tukey backend (wideband MXU path, ops/fft.py::ct_dft)
+    is exact vs the reference transform at several power-of-two sizes and in
+    both directions/dtypes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from c_ofdm_tpu.ops import fft as fftops
+
+    rng = np.random.default_rng(5)
+    for n in (64, 512, 8192):
+        x = jnp.asarray(rng.standard_normal((3, n))
+                        + 1j * rng.standard_normal((3, n)))
+        np.testing.assert_allclose(
+            np.asarray(fftops.ct_dft(x, -1)), np.asarray(jnp.fft.fft(x)),
+            rtol=0, atol=1e-10 * n)
+        np.testing.assert_allclose(
+            np.asarray(fftops.ct_dft(x, +1)),
+            np.asarray(jnp.fft.ifft(x) * n), rtol=0, atol=1e-10 * n)
+
+
+def test_ct_backend_end_to_end():
+    """Full TX->RX chain with fft_backend='ct' decodes byte-exact and its
+    constellation matches the xla backend closely (both are exact DFTs)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from c_ofdm_tpu import ModemConfig, make_frame_spec
+    from c_ofdm_tpu.models import rx as rxm, tx as txm
+
+    cfg = ModemConfig()
+    rng = np.random.default_rng(6)
+    payload = jnp.asarray(rng.integers(0, 256, (2, cfg.frame_bytes),
+                                       dtype=np.uint8))
+    outs = {}
+    for be in ("xla", "ct"):
+        spec = make_frame_spec(cfg, dtype=jnp.complex64, fft_backend=be)
+        frames = txm.transmit(spec, payload)
+        res = rxm.demod_frames_jit(spec, frames)
+        outs[be] = (np.asarray(res.mac_bytes), np.asarray(res.constellation))
+    assert (outs["ct"][0] == np.asarray(payload)).all()
+    assert (outs["ct"][0] == outs["xla"][0]).all()
+    np.testing.assert_allclose(outs["ct"][1], outs["xla"][1], atol=1e-3)
