@@ -166,9 +166,13 @@ def _extract_single_call(xr, xi, starts, win: int, interpret: bool):
     return out[0][:K], out[1][:K]
 
 
-# flat multi-channel extraction keeps the whole concatenated row in VMEM;
-# cap its footprint (2 f32 planes) well under the chip's ~128 MB VMEM
-_FLAT_MAX_SAMPLES = 8 << 20
+# flat multi-channel extraction keeps the whole concatenated row in VMEM as
+# 2 f32 planes.  The binding constraint is Mosaic's 16 MB SCOPED vmem limit
+# per kernel (observed: a 7.65 M-sample flat row OOMed with "scoped
+# allocation 58.55M, limit 16.00M"), not the chip's 128 MB physical VMEM:
+# 2 planes x 4 B x samples <= 16 MB -> <= 2 M samples (C=8 reference rings
+# = 2.02 M, the proven-working load)
+_FLAT_MAX_SAMPLES = 2 << 20
 
 
 def _extract_multi_call(xr, xi, starts, win: int, interpret: bool):
@@ -195,11 +199,16 @@ def _extract_multi_call(xr, xi, starts, win: int, interpret: bool):
     C, n = xr.shape
     K = starts.shape[1]
     seg = n + 128
-    if C * seg > _FLAT_MAX_SAMPLES:
-        outs = [_extract_single_call(xr[c], xi[c], starts[c], win, interpret)
-                for c in range(C)]
-        return (jnp.stack([o[0] for o in outs]),
-                jnp.stack([o[1] for o in outs]))
+    cmax = max(_FLAT_MAX_SAMPLES // seg, 1)
+    if C > cmax:
+        # chunk channels into the largest flat groups that fit VMEM —
+        # ceil(C/cmax) launches instead of C (round-5: the per-channel
+        # fallback cost C=64 streaming 2.4x per-channel vs C=8)
+        outs = [_extract_multi_call(xr[c0:c0 + cmax], xi[c0:c0 + cmax],
+                                    starts[c0:c0 + cmax], win, interpret)
+                for c0 in range(0, C, cmax)]
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
     xrf = jnp.pad(xr, ((0, 0), (0, 128))).reshape(C * seg)
     xif = jnp.pad(xi, ((0, 0), (0, 128))).reshape(C * seg)
     off = jnp.arange(C, dtype=jnp.int32)[:, None] * seg
