@@ -65,13 +65,18 @@ def _extract_kernel(st_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, win: int,
 def _extract_call(xr, xi, starts, win: int, interpret: bool):
     B, n = xr.shape
     pad = (-B) % _ROWS
-    # +128 lanes of zero margin (keeps parity with the clamped-starts
-    # contract of the other kernels; rolls never read past L anyway)
-    zrow = [(0, pad), (0, 128)]
-    xr, xi = jnp.pad(xr, zrow), jnp.pad(xi, zrow)
-    if pad:
-        starts = jnp.pad(starts, (0, pad))
-    n_lanes = n + 128
+    # lane padding only up to the 128-lane tile (zero at the flagship
+    # geometry, n = 6016 = 47*128): the bit-roll kernel reads lane
+    # s+j <= (n-win)+win = n at most (starts are pre-clamped to n-win), so
+    # the old +128 margin — two extra ~12 MB materialized copies of the
+    # capture per step — is unnecessary
+    lpad = (-n) % 128
+    if pad or lpad:
+        zrow = [(0, pad), (0, lpad)]
+        xr, xi = jnp.pad(xr, zrow), jnp.pad(xi, zrow)
+        if pad:
+            starts = jnp.pad(starts, (0, pad))
+    n_lanes = n + lpad
     nb = (B + pad) // _ROWS
     max_start = max(n - win, 1)
     kern = functools.partial(_extract_kernel, win=win,

@@ -17,6 +17,11 @@ this costs seconds after perf_variants/bench have run):
                                                #   achieved TFLOP/s, GB/s
 
 `--times` is a JSON object {variant: ms_per_step} from perf_variants runs.
+
+NOTE (round 5): bare-stage (loop-free) TPU compiles now crash the relay's
+compile helper (signal 4), so this tool's on-TPU cost-analysis path may
+fail; `perf/sol.py` supersedes it — CPU-compiled op census + jaxpr dot
+FLOPs + measured VPU rates -> per-stage speed-of-light bounds.
 """
 
 import argparse
