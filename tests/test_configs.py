@@ -60,3 +60,28 @@ def test_ideal_loopback_all_configs():
         frames = txm.transmit(spec, jnp.asarray(payload))
         res = rxm.demod_frame(spec, frames)
         assert np.array_equal(np.asarray(res.mac_bytes), payload), cfg2.fft_size
+
+
+def test_ct_backend_wideband_impaired():
+    """The wideband 8k geometry with fft_backend='ct' (the production
+    wideband transform since round 5) under noise + CFO + timing offset:
+    synchronized loopback decodes with BER < 1e-3, and the ct constellation
+    matches the xla backend's closely (both exact transforms)."""
+    cfg2 = ModemConfig(fft_size=8192, num_data_subc=4096, num_pilot_subc=32,
+                       cp_size=1024, num_symb=2, pr_sin_len=512, mod_type=6)
+    rng = np.random.default_rng(82)
+    payload = rng.integers(0, 256, cfg2.frame_bytes, dtype=np.uint8)
+    params = ChannelParams(snr_db=30.0, cfo=1e-5, timing_offset=701,
+                           capture_len=cfg2.frame_len + 4096, amplitude=10.0)
+    consts = {}
+    for be in ("ct", "xla"):
+        spec = make_frame_spec(cfg2, dtype=jnp.complex64, fft_backend=be)
+        frame = txm.transmit(spec, jnp.asarray(payload))
+        cap = apply_channel(params, jax.random.PRNGKey(0), frame)
+        res, s = rxm.receive_capture_jit(spec, cap)
+        assert bool(s.found), be
+        got = np.asarray(res.mac_bytes)
+        ber = np.unpackbits(got ^ payload).mean()
+        assert ber < 1e-3, f"{be}: BER {ber}"
+        consts[be] = np.asarray(res.constellation)
+    np.testing.assert_allclose(consts["ct"], consts["xla"], atol=2e-3)
