@@ -15,7 +15,11 @@ length exercises:
     on the way), so any signed/narrow seq handling corrupts the tail of the
     run;
   * frame accounting: ``frames_seen`` monotonic growth equal to the planted
-    count.
+    count;
+  * sample-clock offset: the whole stream is resampled at +12 ppm, so
+    frame timing drifts ~70 samples across the run — the per-frame matched
+    filter must keep re-acquiring (SCO within one frame is negligible;
+    the drift ACROSS the run is what only a soak can exercise).
 """
 
 import numpy as np
@@ -61,9 +65,14 @@ def _planted_stream(spec, rng):
         sig[p:p + cfg.frame_len] = frames[i]
     n = np.arange(total)
     sig = sig * np.exp(2j * np.pi * 1e-4 * n) * 50.0
+    # +12 ppm sample-clock offset: resample the whole stream so timing
+    # drifts ~70 samples end-to-end (linear interp; in-band signal)
+    t = n * (1.0 + 12e-6)
+    t = np.clip(t, 0, total - 1)
+    sig = np.interp(t, n, sig.real) + 1j * np.interp(t, n, sig.imag)
     noise = rng.standard_normal(total) + 1j * rng.standard_normal(total)
-    sig = sig + noise * np.sqrt((np.abs(frames) ** 2).mean() * 2500
-                                * 10 ** (-30.0 / 10) / 2)
+    sig = (sig + noise * np.sqrt((np.abs(frames) ** 2).mean() * 2500
+                                 * 10 ** (-30.0 / 10) / 2)).astype(np.complex64)
     return sig.reshape(N_BUFFERS, buf_len), payloads, seqs, mac
 
 
