@@ -280,7 +280,8 @@ def build_stage(name):
     return step, pools, pv.B * spec.cfg.frame_len
 
 
-def measure_step(step, pools, k_lo=4, k_hi=36):
+def measure_step(step, pools, k_lo=4, k_hi=None):
+    k_hi = k_hi or int(os.environ.get("SOL_KHI", 36))
     """Marginal ms/step of a fori_loop over the stage (salted dispatches).
     The body consumes pool[i % K] — a loop-VARIANT input — or XLA's
     loop-invariant code motion hoists the whole stage out of the loop and
