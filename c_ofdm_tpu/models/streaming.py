@@ -221,6 +221,10 @@ def gated_hits(spec: FrameSpec, ring: jnp.ndarray, min_pos: jnp.ndarray,
     else:
         regions = jax.vmap(lambda s: sync.aligned_window(
             ring, s, win, hop), in_axes=-1, out_axes=-2)(start)  # [..., K, G+L]
+        # materialize before the MF's overlapping Toeplitz slices (same
+        # XLA window-recompute pathology as preamble_corr_track; the TPU
+        # branch above is already materialized by the Pallas call)
+        regions = jax.lax.optimization_barrier(regions)
     scores = sync.matched_filter_scores(spec, regions)[..., :G]
 
     lags = start[..., None] + jnp.arange(G, dtype=jnp.int32)

@@ -342,6 +342,13 @@ def preamble_corr_track(spec, capture: jnp.ndarray, start: jnp.ndarray) -> jnp.n
     L = spec.cfg.pr_sin_len
     W = spec.cfg.sync_window
     region = aligned_window(capture, start, W + L, spec.cfg.t2sin_size)
+    # materialize the window before the matched filter: the Toeplitz MF
+    # takes 7 overlapping slices of its input, and XLA re-derives the
+    # one-hot window contraction inside EACH slice consumer instead of
+    # computing it once — measured 2x on the whole track (0.142 ->
+    # 0.072 ms/step at B=256, round-5 k300 probe), ~70 us of the
+    # flagship step.  The barrier is the identity.
+    region = jax.lax.optimization_barrier(region)
     return matched_filter_scores(spec, region)[..., :W]
 
 
