@@ -80,7 +80,7 @@ def main():
     # 2. throughput record, same method/metric convention as bench.py;
     #    A/B both symbol-transform backends, keep the faster as the record
     results = {}
-    for be in ("matmul", "xla"):
+    for be in ("matmul", "xla", "ct"):   # ct = round-5 wideband winner
         results[be] = bench.bench_batch(
             B=64, k_lo=4, k_hi=60, reps=3, rounds=4, cfg=cfg,
             metric=f"ofdm_wideband_8k_qam64_{be}_samples_per_s",
