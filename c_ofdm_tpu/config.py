@@ -270,7 +270,10 @@ _KEY_MAP = {
     "T2_sin_f1": "t2_sin_f1",
     "T2_sin_f2": "t2_sin_f2",
     "T2_gate_slack": "t2_gate_slack",
-    "sync_peak_refine": "sync_peak_refine",
+    # (sync_peak_refine is handled by its own sentinel branch in
+    # load_config, BEFORE the _KEY_MAP lookup — keeping an entry here
+    # would be dead code that turns the -1 auto sentinel into True if the
+    # branches were ever reordered)
     "smooth": "smooth",
     "modType": "mod_type",
     "bw_hz": "bw_hz",

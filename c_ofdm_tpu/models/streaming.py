@@ -120,13 +120,11 @@ def extract_hits(spec: FrameSpec, score: jnp.ndarray, min_pos: jnp.ndarray,
         idx = jnp.argmax(cand)
         found = jnp.any(cand)
         if refine:
-            # crossing -> local peak (see sync.first_above_peak; same
+            # crossing -> local peak (shared sync.refine_to_peak; same
             # radius so dense-vs-gated refinement cannot drift apart)
-            vals = jnp.stack([score_ok[jnp.clip(idx + j, 0, n - 1)]
-                              for j in range(
-                                  sync.peak_radius(spec.cfg) + 1)])
-            pos = jnp.where(found, idx + jnp.argmax(vals).astype(jnp.int32),
-                            -1).astype(jnp.int32)
+            peak = sync.refine_to_peak(score_ok, idx.astype(jnp.int32),
+                                       sync.peak_radius(spec.cfg))
+            pos = jnp.where(found, peak, -1).astype(jnp.int32)
         else:
             pos = jnp.where(found, idx + 1, -1).astype(jnp.int32)  # +1 quirk
         new_cursor = jnp.where(found, pos + spec.cfg.message_len, n).astype(jnp.int32)

@@ -200,6 +200,15 @@ def first_above_peak(track: jnp.ndarray, level: float,
     (constell.bin / phases.bin are tied to the 11040 window).
     """
     idx, found = first_above(track, level)
+    return jnp.where(found, refine_to_peak(track, idx, radius), idx), found
+
+
+def refine_to_peak(track: jnp.ndarray, idx: jnp.ndarray,
+                   radius: int) -> jnp.ndarray:
+    """argmax of ``track`` over lags [idx, idx+radius] (clipped) — the
+    crossing-to-peak refinement shared by ``first_above_peak`` and the
+    dense streaming path (``streaming.extract_hits``), so the two cannot
+    drift apart.  idx broadcasts over leading dims; scalars work too."""
     c = jnp.maximum(idx, 0)
     n = track.shape[-1]
     vals = jnp.stack(
@@ -207,7 +216,7 @@ def first_above_peak(track: jnp.ndarray, level: float,
                              axis=-1)[..., 0]
          for j in range(radius + 1)], axis=-1)
     best = jnp.argmax(vals, axis=-1).astype(idx.dtype)
-    return jnp.where(found, c + best, idx), found
+    return c + best
 
 
 def find_t2sin(spec, capture: jnp.ndarray, start: jnp.ndarray = 0,

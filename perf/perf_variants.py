@@ -241,6 +241,40 @@ def main_stream():
           f"{cfg.rx_buf_size/per:.0f} frames/s)", flush=True)
 
 
+def stream_stage_fns(spec, max_frames, C=1):
+    """Shared streaming-stage step functions over wire-format blocks
+    ([..., n, 2] interleaved f32) — the single source of truth used by
+    ``main_stream_stages`` AND ``perf/sol.py``, so stage censuses and
+    stage measurements can never quietly diverge onto different graphs
+    (round-5 review find: the copies had already drifted on C-awareness)."""
+    from c_ofdm_tpu.models import streaming
+    from c_ofdm_tpu.ops import sync as syncops
+
+    cfg = spec.cfg
+
+    def to_ring(p):
+        blk = p[..., 0] + 1j * p[..., 1]
+        zeros = jnp.zeros((*blk.shape[:-1], cfg.frame_len), blk.dtype)
+        return jnp.concatenate([zeros, blk], axis=-1)
+
+    def sgate(p):
+        return syncops.t2_ratio_track_hop(spec, to_ring(p)).sum()
+
+    def ssync(p):
+        pos, val = streaming.gated_hits(spec, to_ring(p),
+                                        jnp.asarray(0, jnp.int32), max_frames)
+        return pos.sum().astype(jnp.float32) + val.sum()
+
+    def sfull(p):
+        st0 = streaming.init_state(spec, channels=C if C > 1 else 0)
+        _, out = streaming.process_buffer(spec, st0, p, max_frames)
+        return (out.num_found.astype(jnp.float32).sum()
+                + out.mac_bytes.astype(jnp.float32).sum())
+
+    return {"to_ring": to_ring, "sgate": sgate, "ssync": ssync,
+            "sfull": sfull}
+
+
 def main_stream_stages(which):
     """Streaming-path stage isolation on realistic rings (f32-interleaved
     pools, like bench.py --streaming):
@@ -272,18 +306,9 @@ def main_stream_stages(which):
             iq = iq.reshape(C, S, buf_len_, 2).transpose(1, 0, 2, 3).copy()
         pools.append(jnp.asarray(iq))
 
-    def to_ring(p):
-        blk = p[..., 0] + 1j * p[..., 1]
-        zeros = jnp.zeros((*blk.shape[:-1], cfg.frame_len), blk.dtype)
-        return jnp.concatenate([zeros, blk], axis=-1)
-
-    def sgate(p):
-        return syncops.t2_ratio_track_hop(spec, to_ring(p)).sum()
-
-    def ssync(p):
-        pos, val = streaming.gated_hits(spec, to_ring(p),
-                                        jnp.asarray(0, jnp.int32), max_frames)
-        return pos.sum().astype(jnp.float32) + val.sum()
+    shared = stream_stage_fns(spec, max_frames, C)
+    to_ring, sgate, ssync = (shared["to_ring"], shared["sgate"],
+                             shared["ssync"])
 
     def sdemod(p):
         # production extract path (extract_sigs_ring = Pallas window kernel
@@ -343,11 +368,7 @@ def main_stream_stages(which):
         slot = (arank[None, :] < tgt[:, None]).sum(-1)
         return slot.sum().astype(jnp.float32)
 
-    def sfull(p):
-        st0 = streaming.init_state(spec, channels=C if C > 1 else 0)
-        _, out = streaming.process_buffer(spec, st0, p, max_frames)
-        return (out.num_found.astype(jnp.float32).sum()
-                + out.mac_bytes.astype(jnp.float32).sum())
+    sfull = shared["sfull"]
 
     step = {"sgate": sgate, "ssync": ssync, "sdemod": sdemod,
             "sdemod_xla": sdemod_xla, "stopk": stopk, "sscan": sscan,

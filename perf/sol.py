@@ -140,6 +140,13 @@ def load_rates():
     if os.path.exists(RATES_PATH):
         with open(RATES_PATH) as fh:
             return json.load(fh)
+    # the rates are CHIP constants: refuse to silently measure them on a
+    # CPU-forced census run and bake orders-of-magnitude-wrong bounds into
+    # the saved census (review find, round 5)
+    if jax.devices()[0].platform == "cpu":
+        sys.exit(f"no cached VPU rates at {RATES_PATH} and the active "
+                 "backend is CPU — run `python perf/sol.py rates` on the "
+                 "TPU first")
     return measure_rates()
 
 
@@ -233,35 +240,17 @@ def build_stage(name):
     the production backend); streaming names build reference-sized rings."""
     if name in ("sgate", "ssync", "sfull"):
         import bench as benchmod
+        import perf_variants as pv
         from c_ofdm_tpu import ModemConfig, make_frame_spec
-        from c_ofdm_tpu.models import streaming
-        from c_ofdm_tpu.ops import sync as syncops
 
         spec = make_frame_spec(ModemConfig(), dtype=jnp.complex64,
                                fft_backend="matmul")
         cfg = spec.cfg
         buf_len = cfg.rx_buf_size * cfg.frame_len
         max_frames = cfg.rx_buf_size + 1
-
-        def to_ring(p):
-            blk = p[..., 0] + 1j * p[..., 1]
-            return jnp.concatenate(
-                [jnp.zeros((cfg.frame_len,), blk.dtype), blk])
-
-        def sgate(p):
-            return syncops.t2_ratio_track_hop(spec, to_ring(p)).sum()
-
-        def ssync(p):
-            pos, val = streaming.gated_hits(spec, to_ring(p),
-                                            jnp.asarray(0, jnp.int32),
-                                            max_frames)
-            return pos.sum().astype(jnp.float32) + val.sum()
-
-        def sfull(p):
-            st0 = streaming.init_state(spec)
-            _, out = streaming.process_buffer(spec, st0, p, max_frames)
-            return (out.num_found.astype(jnp.float32)
-                    + out.mac_bytes.astype(jnp.float32).sum())
+        # shared builders (perf_variants.stream_stage_fns) so this census
+        # and the perf_variants stage of the same name are the SAME graph
+        fns = pv.stream_stage_fns(spec, max_frames)
 
         pools = []
         for r in range(3):
@@ -269,8 +258,7 @@ def build_stage(name):
             pools.append(jnp.asarray(
                 np.stack([rings[0].real, rings[0].imag], -1),
                 dtype=jnp.float32))
-        return {"sgate": sgate, "ssync": ssync, "sfull": sfull}[name], \
-            pools, buf_len
+        return fns[name], pools, buf_len
     os.environ.setdefault("PV_BACKEND", "matmul")
     import perf_variants as pv
     step, spec = pv.make_step(name)
@@ -281,12 +269,12 @@ def build_stage(name):
 
 
 def measure_step(step, pools, k_lo=4, k_hi=None):
-    k_hi = k_hi or int(os.environ.get("SOL_KHI", 36))
     """Marginal ms/step of a fori_loop over the stage (salted dispatches).
     The body consumes pool[i % K] — a loop-VARIANT input — or XLA's
     loop-invariant code motion hoists the whole stage out of the loop and
     the marginal measures nothing (observed: 'measured' 3x below the MXU
-    bound)."""
+    bound).  SOL_KHI >= 300 for sub-50 us stages (probe-noise rule)."""
+    k_hi = k_hi or int(os.environ.get("SOL_KHI", 36))
     K = len(pools)
     stacked = jnp.stack(pools)
 

@@ -150,8 +150,8 @@ def parent_main(rounds: int, k_lo: int, k_hi: int) -> None:
             arrs[f"p{r}"] = np.stack([rings.real, rings.imag],
                                      axis=-1).astype(np.float32)
         np.savez(POOLS_PATH, **arrs)
-        print(f"pools written ({n_frames} frames/pool set): {POOLS_PATH}",
-              flush=True)
+        print(f"pools written (~{n_frames} frames in the last pool set; "
+              f"3 seeds): {POOLS_PATH}", flush=True)
 
     t0 = time.perf_counter()
     a = Worker("r03 ", WT_R03, salt_base=1)
