@@ -306,9 +306,11 @@ def main():
     # rings, random frame offsets in noise+CFO, gated sync, carry threading.
     # Non-flagship metrics are best-effort: a failure there must never cost
     # the tail line.
-    for extra in (lambda: bench_streaming(rounds=3),
+    # rounds=5: the min-endpoint marginal only improves with more samples
+    # of each endpoint (queue noise is one-sided), and a round costs ~0.2 s
+    for extra in (lambda: bench_streaming(rounds=5),
                   lambda: bench_streaming(
-                      channels=8, k_hi=30, rounds=3,
+                      channels=8, k_hi=30, rounds=5,
                       metric="ofdm_streaming_8ch_samples_per_s_per_chip"),
                   # 80-frame ingest rings: same chain, bigger buffers — the
                   # per-buffer sync machinery amortizes (round-5 A/B: 156x
@@ -317,7 +319,7 @@ def main():
                   # 41-frame metric above stays the apples-to-apples
                   # reference workload.
                   lambda: bench_streaming(
-                      rx_buf_size=80, k_hi=80, rounds=3,
+                      rx_buf_size=80, k_hi=80, rounds=5,
                       metric="ofdm_streaming_80frame_ring_samples_per_s_per_chip"),
                   bench_wideband):
         try:
